@@ -1,0 +1,31 @@
+"""Runtime configuration for interpn-tpu.
+
+The reference library (jlogan03/interpn) is f64-first: its Python API operates
+on float64 by default and promises ~1e-13-level agreement on its tests. JAX
+disables 64-bit types by default, so we enable x64 mode at import unless the
+user opts out with INTERPN_TPU_NO_X64=1. All interpn-tpu code paths pass
+explicit dtypes everywhere, so enabling x64 only *allows* f64 — it does not
+change the dtype of any interpn-tpu result.
+
+On TPU, float64 is software-emulated and slow; use float32 inputs for
+throughput-critical workloads (the f32 code path is identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def _setup() -> None:
+    if os.environ.get("INTERPN_TPU_NO_X64", "0") not in ("1", "true", "True"):
+        jax.config.update("jax_enable_x64", True)
+
+
+_setup()
+
+# Index dtype used for all cell-location and gather arithmetic. Grids are
+# bounded well below 2^31 elements, and int32 index math is significantly
+# faster than int64 on TPU.
+INDEX_DTYPE = "int32"

@@ -1,0 +1,173 @@
+"""Shared machinery for the persistent interpolator model classes.
+
+Each concrete class mirrors one reference wrapper
+(`src/interpn/multilinear_regular.py` etc.): a frozen pydantic model holding
+the grid definition, with `.new()`, `.eval()`, `.eval_unchecked()`,
+`.check_bounds()` and byte-identical JSON round-trip.
+
+TPU-native extensions beyond the reference API:
+
+* `.eval_jax(obs)` — evaluate device-resident observation arrays and return a
+  device array without any host round-trip (the hot path for TPU callers).
+* Grid constants (starts/steps/vals or grids/vals) are device-cached lazily on
+  first eval, so repeated `.eval()` calls only transfer the query points,
+  preserving the reference's "zero work per call beyond the points" contract.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict, PrivateAttr
+
+from .serialization import ArrayF32, ArrayF64
+
+
+def _np_result(result, obs, out):
+    """Reference output contract: fill preallocated numpy `out` in place when
+    given, else allocate like obs[0] (`multilinear_regular.py:119-123`)."""
+    out_inner = out if out is not None else np.zeros_like(obs[0])
+    np.copyto(out_inner, np.asarray(result).reshape(out_inner.shape))
+    return out_inner
+
+
+def arrtype_for(vals: np.ndarray):
+    return ArrayF64 if vals.dtype == np.float64 else ArrayF32
+
+
+class InterpolatorBase(BaseModel):
+    model_config = ConfigDict(frozen=True, extra="forbid", arbitrary_types_allowed=True)
+
+    # Lazily-built device cache: subclass-specific tuple of device arrays plus
+    # any static metadata needed by the jitted kernel.
+    _dev: Any = PrivateAttr(default=None)
+
+    # ---- subclass hooks -------------------------------------------------
+    def _device_constants(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _eval_device(self, dev, obs_j):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def ndims(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # ---- shared API ------------------------------------------------------
+    def _dev_cache(self):
+        if self._dev is None:
+            object.__setattr__(self, "_dev", self._device_constants())
+        return self._dev
+
+    @property
+    def _dtype(self):
+        return self.vals.data.dtype  # type: ignore[attr-defined]
+
+    def _obs_to_device(self, obs):
+        dtype = self._dtype
+        cast = jnp.float64 if dtype == np.float64 else jnp.float32
+        prepared = []
+        for x in obs:
+            if isinstance(x, jax.Array):
+                prepared.append(x.ravel() if x.dtype == cast else x.astype(cast).ravel())
+            else:
+                prepared.append(jnp.asarray(np.asarray(x).ravel(), dtype=cast))
+        return tuple(prepared)
+
+    def eval_jax(self, obs) -> jax.Array:
+        """Evaluate on device and return a device array (TPU-native fast
+        path; not part of the reference API)."""
+        if self._dtype not in (np.float64, np.float32):
+            raise TypeError(f"Unexpected data type: {self._dtype}")
+        return self._eval_device(self._dev_cache(), self._obs_to_device(obs))
+
+    def eval(self, obs, out=None):
+        """Evaluate at observation points, optionally writing into a
+        preallocated array (reference semantics)."""
+        out_inner = out if out is not None else np.zeros_like(obs[0])
+        self.eval_unchecked(obs, out_inner)
+        return out_inner
+
+    def eval_unchecked(self, obs, out=None):
+        """Evaluate without re-validating input layout (reference
+        semantics; validation already happened at model construction)."""
+        result = self.eval_jax(obs)
+        return _np_result(result, obs, out)
+
+
+def prod_dims(dims) -> int:
+    return reduce(lambda acc, x: acc * x, dims)
+
+
+class RegularGridMixin:
+    """Device plumbing + bounds checks shared by the regular-grid models
+    (fields: dims, starts, steps, vals)."""
+
+    def _device_constants(self):
+        dims = tuple(int(d) for d in self.dims)
+        starts = jnp.asarray(self.starts.data)
+        steps = jnp.asarray(self.steps.data)
+        vals = jnp.asarray(self.vals.data)
+        return (dims, starts, steps, vals)
+
+    def check_bounds(self, obs, atol):
+        """Per-dimension bounds-violation flags
+        (`multilinear_regular.py:170-212` semantics)."""
+        from .. import raw
+
+        ndims = self.ndims()
+        out = np.array([False] * ndims)
+        dtype = self.vals.data.dtype
+        if dtype == np.float64:
+            fn = raw.check_bounds_regular_f64
+        elif dtype == np.float32:
+            fn = raw.check_bounds_regular_f32
+        else:
+            raise TypeError(f"Unexpected data type: {dtype}")
+        fn(
+            self.dims,
+            self.starts.data,
+            self.steps.data,
+            [np.asarray(x).flatten() for x in obs],
+            atol,
+            out,
+        )
+        return out
+
+
+class RectilinearGridMixin:
+    """Device plumbing + bounds checks shared by the rectilinear-grid models
+    (fields: grids, vals)."""
+
+    def _device_constants(self):
+        grids = tuple(jnp.asarray(g.data) for g in self.grids)
+        vals = jnp.asarray(self.vals.data)
+        return (grids, vals)
+
+    def dims(self) -> list[int]:
+        return [x.data.size for x in self.grids]
+
+    def check_bounds(self, obs, atol):
+        """Per-dimension bounds-violation flags
+        (`multilinear_rectilinear.py:163-200` semantics)."""
+        from .. import raw
+
+        ndims = self.ndims()
+        out = np.array([False] * ndims)
+        dtype = self.vals.data.dtype
+        if dtype == np.float64:
+            fn = raw.check_bounds_rectilinear_f64
+        elif dtype == np.float32:
+            fn = raw.check_bounds_rectilinear_f32
+        else:
+            raise TypeError(f"Unexpected data type: {dtype}")
+        fn(
+            [x.data for x in self.grids],
+            [np.asarray(x).flatten() for x in obs],
+            atol,
+            out,
+        )
+        return out

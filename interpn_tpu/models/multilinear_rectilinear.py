@@ -1,0 +1,71 @@
+"""MultilinearRectilinear: multilinear interpolator on a rectilinear grid.
+
+API, validation messages, and JSON schema match the reference
+`src/interpn/multilinear_rectilinear.py:24-201`; evaluation runs
+`interpn_tpu.ops.linear_rectilinear` (vectorized searchsorted bisection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.typing import NDArray
+from pydantic import model_validator
+
+from .. import raw
+from ._base import InterpolatorBase, RectilinearGridMixin, arrtype_for, prod_dims
+from .serialization import Array
+
+
+class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
+    """Multilinear interpolation on a rectilinear grid in up to 8 dimensions.
+
+    All array inputs must be of the same type, either np.float32 or np.float64
+    and must be 1D and contiguous. Grids must be monotonically increasing.
+    """
+
+    grids: list[Array]
+    vals: Array
+
+    @classmethod
+    def new(cls, grids: list[NDArray], vals: NDArray) -> "MultilinearRectilinear":
+        """Initialize the interpolator from per-dimension coordinate arrays.
+
+        Args:
+            grids: 1D arrays of grid coordinate values.
+            vals: Values at grid points in C-style ordering,
+                  as obtained from np.meshgrid(..., indexing="ij")
+        """
+        arrtype = arrtype_for(np.asarray(vals))
+        return cls(
+            grids=[arrtype(data=np.asarray(x)) for x in grids],
+            vals=arrtype(data=np.asarray(vals).flatten()),
+        )
+
+    @model_validator(mode="after")
+    def _validate_model(self):
+        dims = self.dims()
+        ndims = self.ndims()
+        assert ndims <= 8 and ndims >= 1, (
+            "Number of dimensions must be at least 1 and no more than 8"
+        )
+        assert self.vals.data.size == prod_dims(dims), (
+            "Size of value array does not match grid dims"
+        )
+        assert all([np.all(np.diff(x.data) > 0.0) for x in self.grids]), (
+            "All grids must be monotonically increasing"
+        )
+        assert all([x.data.dtype == self.vals.data.dtype for x in self.grids]), (
+            "All grid inputs must be of the same data type (np.float32 or np.float64)"
+        )
+        assert (
+            all([x.data.data.contiguous for x in self.grids])
+            and self.vals.data.data.contiguous
+        ), "Grid data must be contiguous"
+        return self
+
+    def ndims(self) -> int:
+        return len(self.grids)
+
+    def _eval_device(self, dev, obs_j):
+        grids, vals = dev
+        return raw._linear_rectilinear(grids, vals, obs_j)

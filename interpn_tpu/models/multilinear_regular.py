@@ -1,0 +1,80 @@
+"""MultilinearRegular: persistent multilinear interpolator on a regular grid.
+
+API, validation messages, and JSON schema match the reference
+`src/interpn/multilinear_regular.py:24-212`; evaluation runs the batched
+TPU-native kernel `interpn_tpu.ops.linear_regular`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.typing import NDArray
+from pydantic import model_validator
+
+from .. import raw
+from ._base import InterpolatorBase, RegularGridMixin, arrtype_for, prod_dims
+from .serialization import Array
+
+
+class MultilinearRegular(RegularGridMixin, InterpolatorBase):
+    """Multilinear interpolation on a regular grid in up to 8 dimensions.
+
+    All array inputs must be of the same type, either np.float32 or np.float64
+    and must be 1D and contiguous.
+    """
+
+    dims: list[int]
+    starts: Array
+    steps: Array
+    vals: Array
+
+    @classmethod
+    def new(
+        cls, dims: list[int], starts: NDArray, steps: NDArray, vals: NDArray
+    ) -> "MultilinearRegular":
+        """Initialize the interpolator, casting grid arrays to the dtype of
+        `vals` and flattening into contiguous storage as needed.
+
+        Args:
+            dims: Number of elements on each dimension of the grid
+            starts: Starting point of each dimension of the grid
+            steps: Step size on each dimension of the grid
+            vals: Values at grid points in C-style ordering,
+                  as obtained from np.meshgrid(..., indexing="ij")
+        """
+        arrtype = arrtype_for(np.asarray(vals))
+        return cls(
+            dims=dims,
+            starts=arrtype(data=np.asarray(starts).flatten()),
+            steps=arrtype(data=np.asarray(steps).flatten()),
+            vals=arrtype(data=np.asarray(vals).flatten()),
+        )
+
+    @model_validator(mode="after")
+    def _validate_model(self):
+        ndims = self.ndims()
+        assert ndims <= 8 and ndims >= 1, (
+            "Number of dimensions must be at least 1 and no more than 8"
+        )
+        assert self.starts.data.size == ndims, "Grid dimension mismatch"
+        assert self.steps.data.size == ndims, "Grid dimension mismatch"
+        assert self.vals.data.size == prod_dims(self.dims), (
+            "Size of value array does not match grid dims"
+        )
+        assert all([x > 0.0 for x in self.steps.data]), (
+            "All grid steps must be positive and nonzero"
+        )
+        assert all(
+            [x.data.dtype == self.vals.data.dtype for x in [self.steps, self.vals]]
+        ), "All grid inputs must be of the same data type (np.float32 or np.float64)"
+        assert all(
+            [x.data.data.contiguous for x in [self.starts, self.steps, self.vals]]
+        ), "Grid data must be contiguous"
+        return self
+
+    def ndims(self) -> int:
+        return len(self.dims)
+
+    def _eval_device(self, dev, obs_j):
+        dims, starts, steps, vals = dev
+        return raw._linear_regular(dims, starts, steps, vals, obs_j)

@@ -1,0 +1,66 @@
+"""NearestRectilinear: nearest-neighbor interpolator on a rectilinear grid.
+
+API, validation messages, and JSON schema match the reference
+`src/interpn/nearest_rectilinear.py`; evaluation runs
+`interpn_tpu.ops.nearest_rectilinear`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.typing import NDArray
+from pydantic import model_validator
+
+from .. import raw
+from ._base import InterpolatorBase, RectilinearGridMixin, arrtype_for, prod_dims
+from .serialization import Array
+
+
+class NearestRectilinear(RectilinearGridMixin, InterpolatorBase):
+    """Nearest-neighbor interpolation on a rectilinear grid in up to 6
+    dimensions.
+
+    All array inputs must be of the same type, either np.float32 or np.float64
+    and must be 1D and contiguous. Grids must be monotonically increasing.
+    """
+
+    grids: list[Array]
+    vals: Array
+
+    @classmethod
+    def new(cls, grids: list[NDArray], vals: NDArray) -> "NearestRectilinear":
+        """Initialize the interpolator from per-dimension coordinate arrays."""
+        arrtype = arrtype_for(np.asarray(vals))
+        return cls(
+            grids=[arrtype(data=np.asarray(x)) for x in grids],
+            vals=arrtype(data=np.asarray(vals).flatten()),
+        )
+
+    @model_validator(mode="after")
+    def _validate_model(self):
+        dims = self.dims()
+        ndims = self.ndims()
+        assert ndims <= 6 and ndims >= 1, (
+            "Number of dimensions must be at least 1 and no more than 6"
+        )
+        assert self.vals.data.size == prod_dims(dims), (
+            "Size of value array does not match grid dims"
+        )
+        assert all([np.all(np.diff(x.data) > 0.0) for x in self.grids]), (
+            "All grids must be monotonically increasing"
+        )
+        assert all([x.data.dtype == self.vals.data.dtype for x in self.grids]), (
+            "All grid inputs must be of the same data type (np.float32 or np.float64)"
+        )
+        assert (
+            all([x.data.data.contiguous for x in self.grids])
+            and self.vals.data.data.contiguous
+        ), "Grid data must be contiguous"
+        return self
+
+    def ndims(self) -> int:
+        return len(self.grids)
+
+    def _eval_device(self, dev, obs_j):
+        grids, vals = dev
+        return raw._nearest_rectilinear(grids, vals, obs_j)

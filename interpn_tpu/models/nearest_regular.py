@@ -1,0 +1,75 @@
+"""NearestRegular: nearest-neighbor interpolator on a regular grid.
+
+API, validation messages, and JSON schema match the reference
+`src/interpn/nearest_regular.py`; evaluation runs
+`interpn_tpu.ops.nearest_regular` (midpoint ties select the lower index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.typing import NDArray
+from pydantic import model_validator
+
+from .. import raw
+from ._base import InterpolatorBase, RegularGridMixin, arrtype_for, prod_dims
+from .serialization import Array
+
+
+class NearestRegular(RegularGridMixin, InterpolatorBase):
+    """Nearest-neighbor interpolation on a regular grid in up to 6 dimensions.
+
+    All array inputs must be of the same type, either np.float32 or np.float64
+    and must be 1D and contiguous.
+    """
+
+    dims: list[int]
+    starts: Array
+    steps: Array
+    vals: Array
+
+    @classmethod
+    def new(
+        cls, dims: list[int], starts: NDArray, steps: NDArray, vals: NDArray
+    ) -> "NearestRegular":
+        """Initialize the interpolator, casting grid arrays to the dtype of
+        `vals` and flattening into contiguous storage as needed."""
+        arrtype = arrtype_for(np.asarray(vals))
+        return cls(
+            dims=dims,
+            starts=arrtype(data=np.asarray(starts).flatten()),
+            steps=arrtype(data=np.asarray(steps).flatten()),
+            vals=arrtype(data=np.asarray(vals).flatten()),
+        )
+
+    @model_validator(mode="after")
+    def _validate_model(self):
+        ndims = self.ndims()
+        assert ndims <= 6 and ndims >= 1, (
+            "Number of dimensions must be at least 1 and no more than 6"
+        )
+        assert self.starts.data.size == ndims, "Grid dimension mismatch"
+        assert self.steps.data.size == ndims, "Grid dimension mismatch"
+        assert self.vals.data.size == prod_dims(self.dims), (
+            "Size of value array does not match grid dims"
+        )
+        assert all([x > 0.0 for x in self.steps.data]), (
+            "All grid steps must be positive and nonzero"
+        )
+        assert all(
+            [
+                x.data.dtype == self.vals.data.dtype
+                for x in [self.starts, self.steps, self.vals]
+            ]
+        ), "All grid inputs must be of the same data type (np.float32 or np.float64)"
+        assert all(
+            [x.data.data.contiguous for x in [self.starts, self.steps, self.vals]]
+        ), "Grid data must be contiguous"
+        return self
+
+    def ndims(self) -> int:
+        return len(self.dims)
+
+    def _eval_device(self, dev, obs_j):
+        dims, starts, steps, vals = dev
+        return raw._nearest_regular(dims, starts, steps, vals, obs_j)

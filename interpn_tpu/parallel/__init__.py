@@ -1,0 +1,21 @@
+"""Device-mesh parallel evaluation (obs-axis data parallelism)."""
+
+from .sharding import (
+    OBS_AXIS,
+    make_mesh,
+    obs_sharding,
+    pad_to_multiple,
+    replicated,
+    shard_obs,
+    sharded_evaluator,
+)
+
+__all__ = [
+    "OBS_AXIS",
+    "make_mesh",
+    "obs_sharding",
+    "pad_to_multiple",
+    "replicated",
+    "shard_obs",
+    "sharded_evaluator",
+]

@@ -1,0 +1,117 @@
+"""Multi-chip evaluation: shard the observation axis over a device mesh.
+
+The reference is single-threaded CPU (SURVEY.md §2.3); the TPU-native scaling
+axis is the number of query points. Design:
+
+* 1D `Mesh` over all devices with axis name "obs".
+* Observation arrays are sharded `P("obs")`; grid definition arrays
+  (starts/steps/vals or grids/vals) are replicated.
+* Outputs inherit the observation sharding, so the hot path contains ZERO
+  collectives — each chip evaluates its slice of queries against its local
+  replica of the grid. Only the initial grid broadcast touches the
+  interconnect.
+
+`sharded_evaluator` builds a jit-compiled function with those shardings baked
+in; it works on real TPU meshes and on virtual CPU meshes
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``) alike.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import ops
+
+OBS_AXIS = "obs"
+
+
+def make_mesh(devices=None, axis_name: str = OBS_AXIS) -> Mesh:
+    """A 1D mesh over `devices` (default: all visible devices)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def obs_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(OBS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_obs(obs, mesh: Mesh):
+    """Place observation arrays on the mesh, split along the obs axis.
+
+    Lengths must be divisible by the mesh size (pad at the call site if not;
+    `pad_to_multiple` below helps)."""
+    sh = obs_sharding(mesh)
+    return tuple(jax.device_put(x, sh) for x in obs)
+
+
+def pad_to_multiple(x, multiple: int):
+    """Pad a 1D array at the end (edge values) to a multiple of `multiple`.
+
+    Edge padding keeps the padded queries inside the grid's numeric range so
+    they evaluate harmlessly; callers slice the output back to the original
+    length."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    return np.pad(np.asarray(x), (0, rem), mode="edge"), n
+
+
+_METHODS = {
+    ("linear", True): lambda dims, g, v, obs, lin: ops.linear_regular(
+        dims, g[0], g[1], v, obs
+    ),
+    ("nearest", True): lambda dims, g, v, obs, lin: ops.nearest_regular(
+        dims, g[0], g[1], v, obs
+    ),
+    ("cubic", True): lambda dims, g, v, obs, lin: ops.cubic_regular(
+        dims, g[0], g[1], v, obs, lin
+    ),
+    ("linear", False): lambda dims, g, v, obs, lin: ops.linear_rectilinear(g, v, obs),
+    ("nearest", False): lambda dims, g, v, obs, lin: ops.nearest_rectilinear(g, v, obs),
+    ("cubic", False): lambda dims, g, v, obs, lin: ops.cubic_rectilinear(
+        g, v, obs, lin
+    ),
+}
+
+
+def sharded_evaluator(
+    mesh: Mesh,
+    *,
+    method: str = "linear",
+    regular: bool = True,
+    linearize_extrapolation: bool = True,
+):
+    """Build a jit-compiled sharded evaluator.
+
+    Returns ``f(grid_arrays, vals, obs) -> out`` where:
+      * regular grids: ``grid_arrays = (starts, steps)`` plus static `dims`
+        passed as ``f(..., dims=dims)``;
+      * rectilinear grids: ``grid_arrays = tuple(grids)``.
+    `obs` is a tuple of observation arrays sharded along the obs axis; the
+    output keeps that sharding. Grid arrays are replicated by constraint.
+    """
+    kernel = _METHODS[(method, regular)]
+    rep = replicated(mesh)
+    shd = obs_sharding(mesh)
+
+    @partial(jax.jit, static_argnames=("dims",))
+    def f(grid_arrays, vals, obs, dims=None):
+        grid_arrays = tuple(
+            jax.lax.with_sharding_constraint(g, rep) for g in grid_arrays
+        )
+        vals = jax.lax.with_sharding_constraint(vals, rep)
+        obs = tuple(jax.lax.with_sharding_constraint(x, shd) for x in obs)
+        out = kernel(dims, grid_arrays, vals, obs, linearize_extrapolation)
+        return jax.lax.with_sharding_constraint(out, shd)
+
+    return f

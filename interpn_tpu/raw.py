@@ -1,0 +1,349 @@
+"""Flat, monomorphized entry points matching the reference's `interpn.raw`.
+
+The reference exposes 16 PyO3 functions (`src/python.rs:13-39`, re-exported by
+`src/interpn/raw.py:6-23`); here each one is a thin host-side shim over the
+jit-compiled batched kernels in `interpn_tpu.ops`. Names, signatures, argument
+order, error type (AssertionError, matching PyO3's PyAssertionError mapping at
+`src/python.rs:78`) and error strings are identical to the reference.
+
+Semantics:
+* `out` is written in place when it is a numpy array (the reference's
+  zero-copy preallocated-output contract). Every function also *returns* the
+  result array so device-resident callers can stay on device: pass JAX arrays
+  for obs and `out=None`-like usage via the functional `interpn_tpu.ops` API,
+  or use these shims with numpy at the boundary.
+* Grid metadata (`dims`, and the shapes of grids/vals/obs) is static: XLA
+  specializes one executable per (ndims, grid shape, obs length, dtype) — the
+  TPU analogue of the reference's const-generic dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+
+__all__ = [
+    "interpn_linear_regular_f64",
+    "interpn_linear_regular_f32",
+    "interpn_linear_rectilinear_f64",
+    "interpn_linear_rectilinear_f32",
+    "interpn_nearest_regular_f64",
+    "interpn_nearest_regular_f32",
+    "interpn_nearest_rectilinear_f64",
+    "interpn_nearest_rectilinear_f32",
+    "interpn_cubic_regular_f64",
+    "interpn_cubic_regular_f32",
+    "interpn_cubic_rectilinear_f64",
+    "interpn_cubic_rectilinear_f32",
+    "check_bounds_regular_f64",
+    "check_bounds_regular_f32",
+    "check_bounds_rectilinear_f64",
+    "check_bounds_rectilinear_f32",
+]
+
+_MAX_DIMS_MSG = (
+    "Dimension exceeds maximum (8)."
+    " Use interpolator struct directly for higher dimensions."
+)
+
+
+# ---------------------------------------------------------------------------
+# jit-compiled cores (cached by JAX per static args + input shapes/dtypes)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _linear_regular(dims, starts, steps, vals, obs):
+    return ops.linear_regular(dims, starts, steps, vals, obs)
+
+
+@jax.jit
+def _linear_rectilinear(grids, vals, obs):
+    return ops.linear_rectilinear(grids, vals, obs)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _nearest_regular(dims, starts, steps, vals, obs):
+    return ops.nearest_regular(dims, starts, steps, vals, obs)
+
+
+@jax.jit
+def _nearest_rectilinear(grids, vals, obs):
+    return ops.nearest_rectilinear(grids, vals, obs)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _cubic_regular(dims, starts, steps, vals, obs, linearize):
+    return ops.cubic_regular(dims, starts, steps, vals, obs, linearize)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _cubic_rectilinear(grids, vals, obs, linearize):
+    return ops.cubic_rectilinear(grids, vals, obs, linearize)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _check_bounds_regular(dims, starts, steps, obs, atol):
+    return ops.check_bounds_regular(dims, starts, steps, obs, atol)
+
+
+@jax.jit
+def _check_bounds_rectilinear(grids, obs, atol):
+    return ops.check_bounds_rectilinear(grids, obs, atol)
+
+
+# ---------------------------------------------------------------------------
+# host-side validation (reference error strings)
+# ---------------------------------------------------------------------------
+
+
+def _as_dims(dims) -> tuple[int, ...]:
+    return tuple(int(d) for d in np.asarray(dims).ravel())
+
+
+def _size(x) -> int:
+    """Element count without forcing a device->host copy."""
+    return int(x.size) if hasattr(x, "size") else len(x)
+
+
+def _validate_regular(dims, starts, steps, vals, obs, out, *, min_size, size_msg):
+    ndims = len(dims)
+    assert len(starts) == ndims and len(steps) == ndims and len(obs) == ndims, (
+        "Dimension mismatch"
+    )
+    assert _size(vals) == math.prod(dims), "Dimension mismatch"
+    assert all(d >= min_size for d in dims), size_msg
+    steps_np = np.asarray(steps)  # (ndims,) — negligible transfer
+    assert bool(np.all(steps_np > 0)), "All grids must be monotonically increasing"
+    n = _size(out) if out is not None else _size(obs[0])
+    assert all(_size(x) == n for x in obs), "Dimension mismatch"
+
+
+def _validate_rectilinear(grids, vals, obs, out, *, min_size, size_msg):
+    ndims = len(grids)
+    assert len(obs) == ndims, "Dimension mismatch"
+    dims = tuple(_size(g) for g in grids)
+    assert _size(vals) == math.prod(dims), "Dimension mismatch"
+    assert all(d >= min_size for d in dims), size_msg
+    for g in grids:
+        g0, g1 = np.asarray(g[:2])  # first two entries only, as in the reference
+        assert g1 > g0, "All grids must be monotonically increasing"
+    n = _size(out) if out is not None else _size(obs[0])
+    assert all(_size(x) == n for x in obs), "Dimension mismatch"
+
+
+def _finish(result, out):
+    """Write the device result into a preallocated numpy `out` (the
+    reference's in-place contract) and return it. Device-array `out` is not
+    writable; the computed array is returned instead."""
+    if out is not None and isinstance(out, np.ndarray):
+        np.copyto(out, np.asarray(result).reshape(out.shape))
+        return out
+    return result
+
+
+def _to_dev(a, dtype):
+    """Move one array to device at the requested dtype, without a host
+    round-trip when it is already a JAX array."""
+    if isinstance(a, jax.Array):
+        return a.ravel() if a.dtype == dtype else a.astype(dtype).ravel()
+    return jnp.asarray(np.asarray(a).ravel(), dtype=dtype)
+
+
+def _prep(dtype, *arrays):
+    return tuple(_to_dev(a, dtype) for a in arrays)
+
+
+def _prep_list(dtype, arrays):
+    return tuple(_to_dev(a, dtype) for a in arrays)
+
+
+# ---------------------------------------------------------------------------
+# public shims
+# ---------------------------------------------------------------------------
+
+
+def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
+    dims = _as_dims(dims)
+    assert 1 <= len(dims), "Dimension mismatch"
+    assert len(dims) <= 8, _MAX_DIMS_MSG
+    _validate_regular(
+        dims, starts, steps, vals, obs, out,
+        min_size=2, size_msg="All grids must have at least two entries",
+    )
+    starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
+    obs_j = _prep_list(dtype, obs)
+    return _finish(_linear_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
+
+
+def interpn_linear_regular_f64(dims, starts, steps, vals, obs, out):
+    return _interpn_linear_regular(jnp.float64, dims, starts, steps, vals, obs, out)
+
+
+def interpn_linear_regular_f32(dims, starts, steps, vals, obs, out):
+    return _interpn_linear_regular(jnp.float32, dims, starts, steps, vals, obs, out)
+
+
+def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
+    assert 1 <= len(grids), "Dimension mismatch"
+    assert len(grids) <= 8, _MAX_DIMS_MSG
+    _validate_rectilinear(
+        grids, vals, obs, out,
+        min_size=2, size_msg="All grids must have at least 2 entries",
+    )
+    grids_j = _prep_list(dtype, grids)
+    (vals_j,) = _prep(dtype, vals)
+    obs_j = _prep_list(dtype, obs)
+    return _finish(_linear_rectilinear(grids_j, vals_j, obs_j), out)
+
+
+def interpn_linear_rectilinear_f64(grids, vals, obs, out):
+    return _interpn_linear_rectilinear(jnp.float64, grids, vals, obs, out)
+
+
+def interpn_linear_rectilinear_f32(grids, vals, obs, out):
+    return _interpn_linear_rectilinear(jnp.float32, grids, vals, obs, out)
+
+
+def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
+    dims = _as_dims(dims)
+    assert 1 <= len(dims), "Dimension mismatch"
+    assert len(dims) <= 6, "Dimension exceeds maximum (6)."
+    _validate_regular(
+        dims, starts, steps, vals, obs, out,
+        min_size=2, size_msg="All grids must have at least two entries",
+    )
+    starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
+    obs_j = _prep_list(dtype, obs)
+    return _finish(_nearest_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
+
+
+def interpn_nearest_regular_f64(dims, starts, steps, vals, obs, out):
+    return _interpn_nearest_regular(jnp.float64, dims, starts, steps, vals, obs, out)
+
+
+def interpn_nearest_regular_f32(dims, starts, steps, vals, obs, out):
+    return _interpn_nearest_regular(jnp.float32, dims, starts, steps, vals, obs, out)
+
+
+def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
+    assert 1 <= len(grids), "Dimension mismatch"
+    assert len(grids) <= 6, "Dimension exceeds maximum (6)."
+    _validate_rectilinear(
+        grids, vals, obs, out,
+        min_size=2, size_msg="All grids must have at least 2 entries",
+    )
+    grids_j = _prep_list(dtype, grids)
+    (vals_j,) = _prep(dtype, vals)
+    obs_j = _prep_list(dtype, obs)
+    return _finish(_nearest_rectilinear(grids_j, vals_j, obs_j), out)
+
+
+def interpn_nearest_rectilinear_f64(grids, vals, obs, out):
+    return _interpn_nearest_rectilinear(jnp.float64, grids, vals, obs, out)
+
+
+def interpn_nearest_rectilinear_f32(grids, vals, obs, out):
+    return _interpn_nearest_rectilinear(jnp.float32, grids, vals, obs, out)
+
+
+def _interpn_cubic_regular(
+    dtype, dims, starts, steps, vals, linearize_extrapolation, obs, out
+):
+    dims = _as_dims(dims)
+    assert 1 <= len(dims), "Dimension mismatch"
+    assert len(dims) <= 8, _MAX_DIMS_MSG
+    _validate_regular(
+        dims, starts, steps, vals, obs, out,
+        min_size=4, size_msg="All grids must have at least four entries",
+    )
+    starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
+    obs_j = _prep_list(dtype, obs)
+    result = _cubic_regular(
+        dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation)
+    )
+    return _finish(result, out)
+
+
+def interpn_cubic_regular_f64(dims, starts, steps, vals, linearize_extrapolation, obs, out):
+    return _interpn_cubic_regular(
+        jnp.float64, dims, starts, steps, vals, linearize_extrapolation, obs, out
+    )
+
+
+def interpn_cubic_regular_f32(dims, starts, steps, vals, linearize_extrapolation, obs, out):
+    return _interpn_cubic_regular(
+        jnp.float32, dims, starts, steps, vals, linearize_extrapolation, obs, out
+    )
+
+
+def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs, out):
+    assert 1 <= len(grids), "Dimension mismatch"
+    assert len(grids) <= 8, _MAX_DIMS_MSG
+    _validate_rectilinear(
+        grids, vals, obs, out,
+        min_size=4, size_msg="All grids must have at least 4 entries",
+    )
+    grids_j = _prep_list(dtype, grids)
+    (vals_j,) = _prep(dtype, vals)
+    obs_j = _prep_list(dtype, obs)
+    result = _cubic_rectilinear(grids_j, vals_j, obs_j, bool(linearize_extrapolation))
+    return _finish(result, out)
+
+
+def interpn_cubic_rectilinear_f64(grids, vals, linearize_extrapolation, obs, out):
+    return _interpn_cubic_rectilinear(
+        jnp.float64, grids, vals, linearize_extrapolation, obs, out
+    )
+
+
+def interpn_cubic_rectilinear_f32(grids, vals, linearize_extrapolation, obs, out):
+    return _interpn_cubic_rectilinear(
+        jnp.float32, grids, vals, linearize_extrapolation, obs, out
+    )
+
+
+def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
+    dims = _as_dims(dims)
+    ndims = len(dims)
+    assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
+        "Dimension mismatch"
+    )
+    starts_j, steps_j = _prep(dtype, starts, steps)
+    obs_j = _prep_list(dtype, obs)
+    atol_j = jnp.asarray(atol, dtype=dtype)
+    return _finish(_check_bounds_regular(dims, starts_j, steps_j, obs_j, atol_j), out)
+
+
+def check_bounds_regular_f64(dims, starts, steps, obs, atol, out):
+    return _check_bounds_regular_host(jnp.float64, dims, starts, steps, obs, atol, out)
+
+
+def check_bounds_regular_f32(dims, starts, steps, obs, atol, out):
+    return _check_bounds_regular_host(jnp.float32, dims, starts, steps, obs, atol, out)
+
+
+def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
+    ndims = len(grids)
+    assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
+        "Dimension mismatch"
+    )
+    assert all(np.asarray(g).size > 0 for g in grids), "Dimension mismatch"
+    grids_j = _prep_list(dtype, grids)
+    obs_j = _prep_list(dtype, obs)
+    atol_j = jnp.asarray(atol, dtype=dtype)
+    return _finish(_check_bounds_rectilinear(grids_j, obs_j, atol_j), out)
+
+
+def check_bounds_rectilinear_f64(grids, obs, atol, out):
+    return _check_bounds_rectilinear_host(jnp.float64, grids, obs, atol, out)
+
+
+def check_bounds_rectilinear_f32(grids, obs, atol, out):
+    return _check_bounds_rectilinear_host(jnp.float32, grids, obs, atol, out)
