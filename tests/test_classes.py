@@ -1,0 +1,220 @@
+"""Four-API-level tests per interpolator class, in the style of the
+reference's Python tests (`test/test_multilinear_regular.py:5-93` etc.):
+raw binding, `interpn()` helper, wrapper class, and JSON round-trip, for both
+f64 and f32."""
+
+import numpy as np
+import pytest
+
+import interpn_tpu as it
+
+
+def _approx(a, b, dtype, rtol64=1e-12, rtol32=1e-6):
+    rtol = rtol64 if dtype == np.float64 else rtol32
+    scale = max(1.0, float(np.max(np.abs(b))))
+    np.testing.assert_allclose(a, b, atol=rtol * scale)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_multilinear_regular(dtype):
+    x = np.linspace(0.0, 10.0, 5).astype(dtype)
+    y = np.linspace(20.0, 30.0, 3).astype(dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (xg + 2.0 * yg).astype(dtype)
+    dims = [x.size, y.size]
+    starts = np.array([x[0], y[0]]).astype(dtype)
+    steps = np.array([x[1] - x[0], y[1] - y[0]]).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_linear_regular_f64
+        if dtype == np.float64
+        else it.raw.interpn_linear_regular_f32
+    )
+    fn(dims, starts, steps, zf, obs, out)
+    assert np.array_equal(out, zf)  # exact at grid points
+
+    out_helper = it.interpn(obs=obs, grids=[x, y], vals=zf, method="linear")
+    assert np.array_equal(out_helper, zf)
+
+    interp = it.MultilinearRegular.new(dims, starts, steps, zf)
+    assert np.array_equal(interp.eval(obs), zf)
+
+    inside = [np.array([5.0], dtype=dtype), np.array([25.0], dtype=dtype)]
+    outside = [np.array([-5.0], dtype=dtype), np.array([-25.0], dtype=dtype)]
+    assert not any(interp.check_bounds(inside, dtype(1e-6)))
+    assert any(interp.check_bounds(outside, dtype(1e-6)))
+
+    rt = it.MultilinearRegular.model_validate_json(interp.model_dump_json())
+    assert np.array_equal(rt.eval(obs), zf)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_multilinear_rectilinear(dtype):
+    x = np.array([0.0, 1.0, 2.5, 4.0, 8.0], dtype=dtype)
+    y = np.array([20.0, 21.5, 30.0], dtype=dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (xg + 2.0 * yg).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_linear_rectilinear_f64
+        if dtype == np.float64
+        else it.raw.interpn_linear_rectilinear_f32
+    )
+    fn([x, y], zf, obs, out)
+    assert np.array_equal(out, zf)
+
+    out_helper = it.interpn(obs=obs, grids=[x, y], vals=zf, method="linear")
+    assert np.array_equal(out_helper, zf)
+
+    interp = it.MultilinearRectilinear.new([x, y], zf)
+    assert np.array_equal(interp.eval(obs), zf)
+
+    assert not any(
+        interp.check_bounds(
+            [np.array([5.0], dtype=dtype), np.array([25.0], dtype=dtype)], 1e-6
+        )
+    )
+    assert any(
+        interp.check_bounds(
+            [np.array([-5.0], dtype=dtype), np.array([25.0], dtype=dtype)], 1e-6
+        )
+    )
+
+    rt = it.MultilinearRectilinear.model_validate_json(interp.model_dump_json())
+    assert np.array_equal(rt.eval(obs), zf)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+@pytest.mark.parametrize("linearize", [True, False])
+def test_multicubic_regular(dtype, linearize):
+    x = np.linspace(0.0, 10.0, 5).astype(dtype)
+    y = np.linspace(20.0, 30.0, 4).astype(dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (2.0 * xg - yg).astype(dtype)
+    dims = [x.size, y.size]
+    starts = np.array([x[0], y[0]]).astype(dtype)
+    steps = np.array([x[1] - x[0], y[1] - y[0]]).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_cubic_regular_f64
+        if dtype == np.float64
+        else it.raw.interpn_cubic_regular_f32
+    )
+    fn(dims, starts, steps, zf, linearize, obs, out)
+    _approx(out, zf, dtype)
+
+    out_helper = it.interpn(
+        obs=obs, grids=[x, y], vals=zf, method="cubic",
+        linearize_extrapolation=linearize,
+    )
+    _approx(out_helper, zf, dtype)
+
+    interp = it.MulticubicRegular.new(dims, starts, steps, zf, linearize)
+    _approx(interp.eval(obs), zf, dtype)
+    assert interp.linearize_extrapolation == linearize
+
+    rt = it.MulticubicRegular.model_validate_json(interp.model_dump_json())
+    _approx(rt.eval(obs), zf, dtype)
+    assert rt.linearize_extrapolation == linearize
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_multicubic_rectilinear(dtype):
+    x = np.array([0.0, 1.0, 2.5, 4.0, 8.0], dtype=dtype)
+    y = np.array([20.0, 21.5, 24.0, 30.0], dtype=dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (2.0 * xg - yg).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_cubic_rectilinear_f64
+        if dtype == np.float64
+        else it.raw.interpn_cubic_rectilinear_f32
+    )
+    fn([x, y], zf, True, obs, out)
+    _approx(out, zf, dtype)
+
+    interp = it.MulticubicRectilinear.new([x, y], zf)
+    _approx(interp.eval(obs), zf, dtype)
+
+    rt = it.MulticubicRectilinear.model_validate_json(interp.model_dump_json())
+    _approx(rt.eval(obs), zf, dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_nearest_regular(dtype):
+    x = np.linspace(0.0, 10.0, 5).astype(dtype)
+    y = np.linspace(20.0, 30.0, 3).astype(dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (xg + 2.0 * yg).astype(dtype)
+    dims = [x.size, y.size]
+    starts = np.array([x[0], y[0]]).astype(dtype)
+    steps = np.array([x[1] - x[0], y[1] - y[0]]).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_nearest_regular_f64
+        if dtype == np.float64
+        else it.raw.interpn_nearest_regular_f32
+    )
+    fn(dims, starts, steps, zf, obs, out)
+    assert np.array_equal(out, zf)
+
+    interp = it.NearestRegular.new(dims, starts, steps, zf)
+    assert np.array_equal(interp.eval(obs), zf)
+
+    rt = it.NearestRegular.model_validate_json(interp.model_dump_json())
+    assert np.array_equal(rt.eval(obs), zf)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_nearest_rectilinear(dtype):
+    x = np.array([0.0, 1.0, 2.5, 4.0, 8.0], dtype=dtype)
+    y = np.array([20.0, 21.5, 30.0], dtype=dtype)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    zg = (xg + 2.0 * yg).astype(dtype)
+    obs = [xg.flatten(), yg.flatten()]
+    zf = zg.flatten()
+
+    out = np.zeros_like(zf)
+    fn = (
+        it.raw.interpn_nearest_rectilinear_f64
+        if dtype == np.float64
+        else it.raw.interpn_nearest_rectilinear_f32
+    )
+    fn([x, y], zf, obs, out)
+    assert np.array_equal(out, zf)
+
+    interp = it.NearestRectilinear.new([x, y], zf)
+    assert np.array_equal(interp.eval(obs), zf)
+
+    rt = it.NearestRectilinear.model_validate_json(interp.model_dump_json())
+    assert np.array_equal(rt.eval(obs), zf)
+
+
+def test_eval_jax_device_path():
+    """TPU-native extension: device-array obs in, device array out, no numpy
+    round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.linspace(0.0, 10.0, 5)
+    vals = x * 3.0
+    m = it.MultilinearRegular.new([5], np.array([0.0]), np.array([2.5]), vals)
+    obs = (jnp.asarray(np.linspace(-1.0, 11.0, 7)),)
+    out = m.eval_jax(obs)
+    assert isinstance(out, jax.Array)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(obs[0]) * 3.0, atol=1e-12)

@@ -1,0 +1,76 @@
+"""1D fast-path tests, porting the reference's one_dim suite
+(`src/one_dim/linear.rs:96-180`, `src/one_dim/hold.rs:118-180`)."""
+
+import numpy as np
+
+from interpn_tpu.ops.one_dim import (
+    Left1D,
+    Linear1D,
+    LinearHoldLast1D,
+    Nearest1D,
+    RectilinearGrid1D,
+    RegularGrid1D,
+    Right1D,
+)
+
+
+def _setup(n=77, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.standard_normal(n)
+    start, stop = -3.14, 314.0
+    x_reg = np.linspace(start, stop, n)
+    x_rect = np.sort(rng.standard_normal(n)) * (stop - start) + start
+    locs = rng.standard_normal(3 * n) * 2.0 * (stop - start) + 2.0 * start
+    return vals, x_reg, x_rect, locs
+
+
+def _bracket(xs, loc):
+    j = int(np.searchsorted(xs, loc, side="left")) - 1
+    return min(max(j, 0), len(xs) - 2)
+
+
+def test_linear_1d_regular_and_rectilinear():
+    vals, x_reg, x_rect, locs = _setup()
+    for xs, grid in [
+        (x_reg, RegularGrid1D(x_reg[0], x_reg[1] - x_reg[0], vals)),
+        (x_rect, RectilinearGrid1D(x_rect, vals)),
+    ]:
+        ys = np.asarray(Linear1D(grid).eval(locs))
+        for i, loc in enumerate(locs):
+            j = _bracket(xs, loc)
+            slope = (vals[j + 1] - vals[j]) / (xs[j + 1] - xs[j])
+            expected = vals[j] + slope * (loc - xs[j])
+            assert abs((ys[i] - expected) / expected) < 1e-9
+
+
+def test_linear_hold_last_1d():
+    vals, x_reg, x_rect, locs = _setup()
+    for xs, grid in [
+        (x_reg, RegularGrid1D(x_reg[0], x_reg[1] - x_reg[0], vals)),
+        (x_rect, RectilinearGrid1D(x_rect, vals)),
+    ]:
+        ys = np.asarray(LinearHoldLast1D(grid).eval(locs))
+        for i, loc in enumerate(locs):
+            if loc < xs[0]:
+                assert ys[i] == vals[0]
+            elif loc > xs[-1]:
+                assert ys[i] == vals[-1]
+
+
+def test_hold_1d():
+    vals, x_reg, _, locs = _setup(seed=1)
+    grid = RegularGrid1D(x_reg[0], x_reg[1] - x_reg[0], vals)
+    y_left = np.asarray(Left1D(grid).eval(locs))
+    y_right = np.asarray(Right1D(grid).eval(locs))
+    y_near = np.asarray(Nearest1D(grid).eval(locs))
+    for i, loc in enumerate(locs):
+        j = _bracket(x_reg, loc)
+        yl, yr = vals[j], vals[j + 1]
+        if loc < x_reg[0]:
+            assert y_left[i] == yl and y_right[i] == yl
+        elif loc > x_reg[-1]:
+            assert y_left[i] == yr and y_right[i] == yr
+        else:
+            assert y_left[i] == yl and y_right[i] == yr
+        expected_near = yl if (loc - x_reg[j]) <= (x_reg[j + 1] - loc) else yr
+        assert y_near[i] == expected_near

@@ -1,0 +1,201 @@
+"""Property tests ported from the reference's Rust unit-test strategy
+(SURVEY.md §4.1): exactness on functions each method must reproduce, on
+observation meshes that traverse every combination of interpolation /
+extrapolation-low / extrapolation-high per axis."""
+
+import numpy as np
+import pytest
+
+import interpn_tpu as it
+from interpn_tpu.utils import meshgrid
+
+
+def _obs_mesh(ndims, n_per_axis=3, lo=-7.0, hi=7.0):
+    """3^N observation mesh spanning inside and outside the grid, like
+    `src/multilinear/regular.rs:452-459`."""
+    axes = [
+        np.linspace(lo * i, hi * (i + 1), n_per_axis) for i in range(ndims)
+    ]
+    pts = meshgrid(axes)
+    return [np.ascontiguousarray(pts[:, k]) for k in range(ndims)]
+
+
+@pytest.mark.parametrize("ndims", range(1, 7))
+def test_linear_regular_exact_on_sum_1d_to_6d(ndims):
+    """Linear reproduces sum(x_i) exactly under interp and extrap
+    (`src/multilinear/regular.rs:437-477`, atol 1e-12)."""
+    dims = [2] * ndims
+    axes = [np.linspace(-5.0 * i, 5.0 * (i + 1), dims[i]) for i in range(ndims)]
+    pts = meshgrid(axes)
+    vals = pts.sum(axis=1)
+    starts = np.array([a[0] for a in axes])
+    steps = np.array([a[1] - a[0] for a in axes])
+
+    obs = _obs_mesh(ndims)
+    expected = np.sum(np.stack(obs, axis=-1), axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_linear_regular_f64(dims, starts, steps, vals, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndims", range(1, 7))
+def test_linear_rectilinear_exact_on_sum(ndims):
+    """Same property on noise-perturbed monotonic grids
+    (`src/multilinear/rectilinear.rs:413-456`)."""
+    rng = np.random.default_rng(1234)
+    dims = [max(2, 4 - ndims // 3)] * ndims
+    axes = []
+    for i in range(ndims):
+        a = np.linspace(-5.0 * i, 5.0 * (i + 1), dims[i])
+        a += (rng.random(dims[i]) - 0.5) / 10.0
+        assert np.all(np.diff(a) > 0)
+        axes.append(a)
+    pts = meshgrid(axes)
+    vals = pts.sum(axis=1)
+
+    obs = _obs_mesh(ndims)
+    expected = np.sum(np.stack(obs, axis=-1), axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_linear_rectilinear_f64(axes, vals, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+
+def test_linear_hat_function_alignment():
+    """Hat-function cell-alignment regression, bitwise
+    (`src/multilinear/regular.rs:480-495`)."""
+
+    def hat(x):
+        return np.where(x <= 1.0, x, 2.0 - x)
+
+    y = hat(np.arange(3.0))
+    obs = np.linspace(-2.0, 4.0, 100)
+    out = np.zeros_like(obs)
+    it.raw.interpn_linear_regular_f64(
+        [3], np.array([0.0]), np.array([1.0]), y, [obs], out
+    )
+    assert np.array_equal(out, hat(obs))
+
+
+@pytest.mark.parametrize("ndims", range(1, 5))
+@pytest.mark.parametrize("linearize", [True, False])
+def test_cubic_regular_reproduces_linear(ndims, linearize):
+    """Cubic reproduces a linear function under both extrapolation modes
+    (`src/multicubic/regular.rs:634-676`)."""
+    dims = [4] * ndims
+    axes = [np.linspace(-5.0 * i, 5.0 * (i + 1), dims[i]) for i in range(ndims)]
+    pts = meshgrid(axes)
+    vals = pts.sum(axis=1)
+    starts = np.array([a[0] for a in axes])
+    steps = np.array([a[1] - a[0] for a in axes])
+
+    obs = _obs_mesh(ndims, n_per_axis=5)
+    expected = np.sum(np.stack(obs, axis=-1), axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_cubic_regular_f64(dims, starts, steps, vals, linearize, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("ndims", range(1, 4))
+def test_cubic_regular_reproduces_quadratic_under_extrapolation(ndims):
+    """Quadratic functions are reproduced exactly, including under
+    (non-linearized) extrapolation — the natural-BC property
+    (`src/multicubic/regular.rs:680-730`, atol 1e-10)."""
+    dims = [4] * ndims
+    axes = [np.linspace(-5.0 * i, 5.0 * (i + 1), dims[i]) for i in range(ndims)]
+    pts = meshgrid(axes)
+    vals = (pts**2).sum(axis=1)
+    starts = np.array([a[0] for a in axes])
+    steps = np.array([a[1] - a[0] for a in axes])
+
+    obs = _obs_mesh(ndims, n_per_axis=5)
+    expected = np.sum(np.stack(obs, axis=-1) ** 2, axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_cubic_regular_f64(dims, starts, steps, vals, False, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("ndims", range(1, 4))
+def test_cubic_regular_tracks_sine(ndims):
+    """Interior sine-tracking sanity bound, as in
+    `src/multicubic/regular.rs:736-792` (2e-2 * ndims)."""
+    rng = np.random.default_rng(7)
+    dims = [20] * ndims
+    axes = [np.linspace(0.0, 2 * np.pi, dims[i]) for i in range(ndims)]
+    pts = meshgrid(axes)
+    vals = np.sin(pts.sum(axis=1))
+    starts = np.array([a[0] for a in axes])
+    steps = np.array([a[1] - a[0] for a in axes])
+
+    obs = [rng.uniform(0.0, 2 * np.pi, 500) for _ in range(ndims)]
+    expected = np.sin(np.sum(np.stack(obs, axis=-1), axis=-1))
+    out = np.zeros_like(expected)
+    it.raw.interpn_cubic_regular_f64(dims, starts, steps, vals, True, obs, out)
+    assert np.max(np.abs(out - expected)) < 2e-2 * ndims
+
+
+@pytest.mark.parametrize("ndims", range(1, 4))
+@pytest.mark.parametrize("linearize", [True, False])
+def test_cubic_rectilinear_reproduces_linear(ndims, linearize):
+    """Cubic on noise-perturbed grids reproduces a linear function
+    (`src/multicubic/rectilinear.rs:557-607`)."""
+    rng = np.random.default_rng(1234)
+    dims = [4] * ndims
+    axes = []
+    for i in range(ndims):
+        a = np.linspace(-5.0 * i, 5.0 * (i + 1), dims[i])
+        a += (rng.random(dims[i]) - 0.5) / 10.0
+        assert np.all(np.diff(a) > 0)
+        axes.append(a)
+    pts = meshgrid(axes)
+    vals = pts.sum(axis=1)
+
+    obs = _obs_mesh(ndims, n_per_axis=5)
+    expected = np.sum(np.stack(obs, axis=-1), axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_cubic_rectilinear_f64(axes, vals, linearize, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-10)
+
+
+def test_linear_rectilinear_minimum_size_dimension():
+    """One minimum-size (2-point) dimension mixed with a larger one
+    (`src/multilinear/rectilinear.rs:380-407`)."""
+    x = np.array([0.0, 1.0])
+    y = np.array([0.0, 0.7, 1.5, 2.0, 3.1])
+    pts = meshgrid([x, y])
+    vals = 2.0 * pts[:, 0] - pts[:, 1]
+    rng = np.random.default_rng(5)
+    obs = [rng.uniform(-1, 2, 100), rng.uniform(-1, 4, 100)]
+    expected = 2.0 * obs[0] - obs[1]
+    out = np.zeros_like(expected)
+    it.raw.interpn_linear_rectilinear_f64([x, y], vals, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndims", [7, 8])
+def test_linear_and_cubic_high_dims(ndims):
+    """7-8D paths (the reference's recursive fallback range) remain exact on
+    linear data (`src/multilinear/regular.rs:107-110`)."""
+    dims = [2] * ndims if ndims else []
+    axes = [np.linspace(0.0, 1.0, 2) for _ in range(ndims)]
+    pts = meshgrid(axes)
+    vals = pts.sum(axis=1)
+    starts = np.zeros(ndims)
+    steps = np.ones(ndims)
+    rng = np.random.default_rng(3)
+    obs = [rng.uniform(-0.5, 1.5, 50) for _ in range(ndims)]
+    expected = np.sum(np.stack(obs, axis=-1), axis=-1)
+    out = np.zeros_like(expected)
+    it.raw.interpn_linear_regular_f64(dims, starts, steps, vals, obs, out)
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+
+    # cubic needs >= 4 points/axis; 4^8 grid is 65536 vals — still fine
+    dims_c = [4] * ndims
+    axes_c = [np.linspace(0.0, 3.0, 4) for _ in range(ndims)]
+    pts_c = meshgrid(axes_c)
+    vals_c = pts_c.sum(axis=1)
+    steps_c = np.ones(ndims)
+    obs_c = [rng.uniform(-0.5, 3.5, 10) for _ in range(ndims)]
+    expected_c = np.sum(np.stack(obs_c, axis=-1), axis=-1)
+    out_c = np.zeros_like(expected_c)
+    it.raw.interpn_cubic_regular_f64(dims_c, starts, steps_c, vals_c, True, obs_c, out_c)
+    np.testing.assert_allclose(out_c, expected_c, atol=1e-9)

@@ -1,0 +1,100 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4.3):
+sharded evaluation must match single-device results exactly, keep outputs
+sharded along the obs axis, and compile to collective-free HLO."""
+
+import jax
+import numpy as np
+import pytest
+
+import interpn_tpu as it
+from interpn_tpu import parallel
+
+COLLECTIVES = (
+    "all-reduce",
+    "all-gather",
+    "collective-permute",
+    "reduce-scatter",
+    "all-to-all",
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should configure 8 CPU devices"
+    return parallel.make_mesh()
+
+
+def _grid3(n=8):
+    x = np.linspace(0.0, 10.0, n)
+    xg, yg, zg = np.meshgrid(x, x, x, indexing="ij")
+    vals = np.sin(xg) + yg * zg
+    return x, vals.ravel()
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_sharded_matches_single_device(mesh, method):
+    x, vals = _grid3()
+    rng = np.random.default_rng(99)
+    n = 4096
+    obs = tuple(rng.uniform(-2.0, 12.0, n) for _ in range(3))
+    starts = np.zeros(3)
+    steps = np.full(3, x[1] - x[0])
+
+    f = parallel.sharded_evaluator(mesh, method=method, regular=True)
+    obs_sh = parallel.shard_obs(obs, mesh)
+    out_sharded = np.asarray(f((starts, steps), vals, obs_sh, dims=(8, 8, 8)))
+
+    # single-device reference through the raw API
+    out_single = np.zeros(n)
+    raw_fn = {
+        "linear": lambda: it.raw.interpn_linear_regular_f64(
+            [8, 8, 8], starts, steps, vals, list(obs), out_single
+        ),
+        "cubic": lambda: it.raw.interpn_cubic_regular_f64(
+            [8, 8, 8], starts, steps, vals, True, list(obs), out_single
+        ),
+        "nearest": lambda: it.raw.interpn_nearest_regular_f64(
+            [8, 8, 8], starts, steps, vals, list(obs), out_single
+        ),
+    }[method]
+    raw_fn()
+    assert np.array_equal(out_sharded, out_single)
+
+
+def test_output_sharding_and_no_collectives(mesh):
+    x, vals = _grid3()
+    rng = np.random.default_rng(7)
+    obs = tuple(rng.uniform(0, 10, 4096) for _ in range(3))
+    starts = np.zeros(3)
+    steps = np.full(3, x[1] - x[0])
+
+    f = parallel.sharded_evaluator(mesh, method="cubic", regular=True)
+    obs_sh = parallel.shard_obs(obs, mesh)
+    out = f((starts, steps), vals, obs_sh, dims=(8, 8, 8))
+    assert len(out.addressable_shards) == 8
+    assert out.sharding.spec == jax.sharding.PartitionSpec("obs")
+
+    hlo = f.lower((starts, steps), vals, obs_sh, dims=(8, 8, 8)).compile().as_text()
+    assert not any(op in hlo for op in COLLECTIVES)
+
+
+def test_rectilinear_sharded(mesh):
+    g = np.array([0.0, 0.5, 2.0, 3.5, 4.0, 7.0, 10.0])
+    gg = np.meshgrid(g, g, indexing="ij")
+    vals = (gg[0] * 2 - gg[1]).ravel()
+    rng = np.random.default_rng(3)
+    obs = tuple(rng.uniform(-1, 11, 1024) for _ in range(2))
+
+    f = parallel.sharded_evaluator(mesh, method="linear", regular=False)
+    obs_sh = parallel.shard_obs(obs, mesh)
+    out = np.asarray(f((g, g), vals, obs_sh))
+    np.testing.assert_allclose(out, obs[0] * 2 - obs[1], atol=1e-12)
+
+
+def test_pad_to_multiple():
+    x = np.arange(10.0)
+    padded, n = parallel.pad_to_multiple(x, 8)
+    assert padded.shape[0] == 16 and n == 10
+    assert np.all(padded[10:] == x[-1])
+    same, n2 = parallel.pad_to_multiple(np.arange(16.0), 8)
+    assert same.shape[0] == 16 and n2 == 16
