@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from pydantic import BaseModel, ConfigDict, PrivateAttr
 
+from .. import native
 from .serialization import ArrayF32, ArrayF64
 
 
@@ -45,6 +46,9 @@ class InterpolatorBase(BaseModel):
     # Lazily-built device cache: subclass-specific tuple of device arrays plus
     # any static metadata needed by the jitted kernel.
     _dev: Any = PrivateAttr(default=None)
+    # Lazily-prepared native CPU callable (grid constants frozen), or False
+    # when the native backend is unavailable for this configuration.
+    _native: Any = PrivateAttr(default=None)
 
     # ---- subclass hooks -------------------------------------------------
     def _device_constants(self):  # pragma: no cover - abstract
@@ -91,11 +95,33 @@ class InterpolatorBase(BaseModel):
         self.eval_unchecked(obs, out_inner)
         return out_inner
 
+    def _prepare_native(self):  # pragma: no cover - abstract
+        return None
+
+    def _native_eval(self, obs, out) -> bool:
+        if self._native is None:
+            object.__setattr__(self, "_native", self._prepare_native() or False)
+        call = self._native
+        return bool(call) and call(obs, out)
+
     def eval_unchecked(self, obs, out=None):
         """Evaluate without re-validating input layout (reference
-        semantics; validation already happened at model construction)."""
+        semantics; validation already happened at model construction).
+
+        Small host-resident batches take the native CPU path (latency
+        regime); everything else runs the jit-compiled device kernel with
+        cached device-resident grid constants."""
+        out_inner = out if out is not None else np.zeros_like(obs[0])
+        if (
+            isinstance(out_inner, np.ndarray)
+            and out_inner.flags.c_contiguous
+            and native.use_native(out_inner.size)
+            and not any(isinstance(x, jax.Array) for x in obs)
+            and self._native_eval(obs, out_inner)
+        ):
+            return out_inner
         result = self.eval_jax(obs)
-        return _np_result(result, obs, out)
+        return _np_result(result, obs, out_inner)
 
 
 def prod_dims(dims) -> int:

@@ -84,3 +84,11 @@ class MulticubicRectilinear(RectilinearGridMixin, InterpolatorBase):
         return raw._cubic_rectilinear(
             grids, vals, obs_j, bool(self.linearize_extrapolation)
         )
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_cubic_rectilinear(
+            [g.data for g in self.grids], self.vals.data,
+            bool(self.linearize_extrapolation), self.vals.data.dtype.type,
+        )

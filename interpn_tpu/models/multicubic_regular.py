@@ -95,3 +95,11 @@ class MulticubicRegular(RegularGridMixin, InterpolatorBase):
         return raw._cubic_regular(
             dims, starts, steps, vals, obs_j, bool(self.linearize_extrapolation)
         )
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_cubic_regular(
+            self.dims, self.starts.data, self.steps.data, self.vals.data,
+            bool(self.linearize_extrapolation), self.vals.data.dtype.type,
+        )

@@ -69,3 +69,11 @@ class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
     def _eval_device(self, dev, obs_j):
         grids, vals = dev
         return raw._linear_rectilinear(grids, vals, obs_j)
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_linear_rectilinear(
+            [g.data for g in self.grids], self.vals.data,
+            self.vals.data.dtype.type,
+        )

@@ -78,3 +78,11 @@ class MultilinearRegular(RegularGridMixin, InterpolatorBase):
     def _eval_device(self, dev, obs_j):
         dims, starts, steps, vals = dev
         return raw._linear_regular(dims, starts, steps, vals, obs_j)
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_linear_regular(
+            self.dims, self.starts.data, self.steps.data, self.vals.data,
+            self.vals.data.dtype.type,
+        )

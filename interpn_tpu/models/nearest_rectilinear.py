@@ -64,3 +64,11 @@ class NearestRectilinear(RectilinearGridMixin, InterpolatorBase):
     def _eval_device(self, dev, obs_j):
         grids, vals = dev
         return raw._nearest_rectilinear(grids, vals, obs_j)
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_nearest_rectilinear(
+            [g.data for g in self.grids], self.vals.data,
+            self.vals.data.dtype.type,
+        )

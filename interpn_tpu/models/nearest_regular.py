@@ -73,3 +73,11 @@ class NearestRegular(RegularGridMixin, InterpolatorBase):
     def _eval_device(self, dev, obs_j):
         dims, starts, steps, vals = dev
         return raw._nearest_regular(dims, starts, steps, vals, obs_j)
+
+    def _prepare_native(self):
+        from .. import native
+
+        return native.prepare_nearest_regular(
+            self.dims, self.starts.data, self.steps.data, self.vals.data,
+            self.vals.data.dtype.type,
+        )

@@ -1,0 +1,262 @@
+"""ctypes bindings + build machinery for the native CPU kernels.
+
+The shared library is built on first use with g++ (no pybind11 in this image;
+the extern-C + ctypes route keeps the binding layer dependency-free). The
+build is cached next to the source and keyed on the source hash.
+
+`NATIVE_THRESHOLD` is the dispatch crossover: the raw API routes query batches
+smaller than this to the native path (host memory, nanoseconds per point; the
+latency regime where the reference's headline "1 obs" numbers live) and larger
+batches to the TPU path (bandwidth regime). Set env INTERPN_TPU_NATIVE=0 to
+disable, or =always to force native for all sizes.
+
+Call-overhead design: all pointer arguments are passed as raw integers
+(`ndarray.ctypes.data`) into `c_void_p` slots — bypassing the expensive
+`data_as`/`cast` machinery — and the persistent model classes cache a
+`prepare_*` closure that freezes the grid-constant arguments once, so a warm
+`.eval()` on a small batch costs only the obs-pointer packing plus the C call.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "interpn_native.cpp"
+
+NATIVE_THRESHOLD = int(os.environ.get("INTERPN_TPU_NATIVE_THRESHOLD", "4096"))
+
+_lib = None
+_tried = False
+
+_VOIDP = ctypes.c_void_p
+_I64 = ctypes.c_int64
+_INT = ctypes.c_int
+_DBL = ctypes.c_double
+
+
+def _build() -> Path | None:
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    out = _DIR / f"libinterpn_native_{tag}.so"
+    if out.exists():
+        return out
+    # -ffp-contract=off: no FMA contraction, so the native path agrees with
+    # the JAX/XLA path and the numpy oracle to the last ulp wherever the
+    # operation order matches (the reference ships FMA wheels and documents
+    # the resulting tie-break nondeterminism; we prefer cross-path agreement).
+    cmd = [
+        "g++", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off",
+        "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(out),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except Exception:
+        return None
+    return out
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("INTERPN_TPU_NATIVE", "1") == "0":
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        _lib = ctypes.CDLL(str(path))
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def use_native(n: int) -> bool:
+    """Dispatch policy: native host path for small batches (latency regime),
+    device path for large ones (bandwidth regime)."""
+    mode = os.environ.get("INTERPN_TPU_NATIVE", "1")
+    if mode == "0":
+        return False
+    if mode == "always":
+        return available()
+    return n < NATIVE_THRESHOLD and available()
+
+
+def _c(a, dtype):
+    return np.ascontiguousarray(np.asarray(a).ravel(), dtype=dtype)
+
+
+def _obs_ptrs(obs, dtype):
+    """(kept-alive converted arrays, c_void_p[] of their data pointers)."""
+    arrs = [_c(o, dtype) for o in obs]
+    ptrs = (_VOIDP * len(arrs))(*(a.ctypes.data for a in arrs))
+    return arrs, ptrs
+
+
+# ---------------------------------------------------------------------------
+# prepared (grid-frozen) callables — used by the persistent model classes
+# ---------------------------------------------------------------------------
+
+
+def prepare_linear_regular(dims, starts, steps, vals, dtype):
+    lib = _load()
+    ndims = len(dims)
+    if lib is None or ndims > 8:
+        return None
+    fn = lib.itn_linear_regular_f64 if dtype == np.float64 else lib.itn_linear_regular_f32
+    d64 = np.asarray(dims, dtype=np.int64)
+    st, sp, v = _c(starts, dtype), _c(steps, dtype), _c(vals, dtype)
+    head = (_VOIDP(d64.ctypes.data), _INT(ndims), _VOIDP(st.ctypes.data), _VOIDP(sp.ctypes.data), _VOIDP(v.ctypes.data))
+    keep = (d64, st, sp, v)
+
+    def call(obs, out) -> bool:
+        arrs, ptrs = _obs_ptrs(obs, dtype)
+        rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
+        del arrs  # kept alive through the C call; `keep` lives in the closure
+        assert keep is not None
+        return rc == 0
+
+    return call
+
+
+def prepare_nearest_regular(dims, starts, steps, vals, dtype):
+    lib = _load()
+    ndims = len(dims)
+    if lib is None or ndims > 6:
+        return None
+    fn = lib.itn_nearest_regular_f64 if dtype == np.float64 else lib.itn_nearest_regular_f32
+    d64 = np.asarray(dims, dtype=np.int64)
+    st, sp, v = _c(starts, dtype), _c(steps, dtype), _c(vals, dtype)
+    head = (_VOIDP(d64.ctypes.data), _INT(ndims), _VOIDP(st.ctypes.data), _VOIDP(sp.ctypes.data), _VOIDP(v.ctypes.data))
+    keep = (d64, st, sp, v)
+
+    def call(obs, out) -> bool:
+        arrs, ptrs = _obs_ptrs(obs, dtype)
+        rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
+        del arrs  # kept alive through the C call; `keep` lives in the closure
+        assert keep is not None
+        return rc == 0
+
+    return call
+
+
+def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
+    lib = _load()
+    ndims = len(dims)
+    if lib is None or ndims > 6:
+        return None
+    fn = lib.itn_cubic_regular_f64 if dtype == np.float64 else lib.itn_cubic_regular_f32
+    d64 = np.asarray(dims, dtype=np.int64)
+    st, sp, v = _c(starts, dtype), _c(steps, dtype), _c(vals, dtype)
+    head = (
+        _VOIDP(d64.ctypes.data), _INT(ndims), _VOIDP(st.ctypes.data),
+        _VOIDP(sp.ctypes.data), _VOIDP(v.ctypes.data),
+        _INT(1 if linearize else 0),
+    )
+    keep = (d64, st, sp, v)
+
+    def call(obs, out) -> bool:
+        arrs, ptrs = _obs_ptrs(obs, dtype)
+        rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
+        del arrs  # kept alive through the C call; `keep` lives in the closure
+        assert keep is not None
+        return rc == 0
+
+    return call
+
+
+def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()):
+    lib = _load()
+    ndims = len(grids)
+    if lib is None or ndims > max_dims:
+        return None
+    fn = getattr(lib, fn_name_64 if dtype == np.float64 else fn_name_32)
+    gs = [_c(g, dtype) for g in grids]
+    gptrs = (_VOIDP * ndims)(*(g.ctypes.data for g in gs))
+    d64 = np.asarray([g.size for g in gs], dtype=np.int64)
+    v = _c(vals, dtype)
+    head = (gptrs, _VOIDP(d64.ctypes.data), _INT(ndims), _VOIDP(v.ctypes.data), *extra)
+    keep = (gs, gptrs, d64, v)
+
+    def call(obs, out) -> bool:
+        arrs, ptrs = _obs_ptrs(obs, dtype)
+        rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
+        del arrs  # kept alive through the C call; `keep` lives in the closure
+        assert keep is not None
+        return rc == 0
+
+    return call
+
+
+def prepare_linear_rectilinear(grids, vals, dtype):
+    return _prepare_rect(
+        "itn_linear_rectilinear_f64", "itn_linear_rectilinear_f32", 8,
+        grids, vals, dtype,
+    )
+
+
+def prepare_nearest_rectilinear(grids, vals, dtype):
+    return _prepare_rect(
+        "itn_nearest_rectilinear_f64", "itn_nearest_rectilinear_f32", 6,
+        grids, vals, dtype,
+    )
+
+
+def prepare_cubic_rectilinear(grids, vals, linearize, dtype):
+    return _prepare_rect(
+        "itn_cubic_rectilinear_f64", "itn_cubic_rectilinear_f32", 6,
+        grids, vals, dtype, extra=(_INT(1 if linearize else 0),),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-shot wrappers — used by the flat raw API
+# ---------------------------------------------------------------------------
+
+
+def _dtype_of(out):
+    return out.dtype.type
+
+
+def linear_regular(dims, starts, steps, vals, obs, out) -> bool:
+    call = prepare_linear_regular(dims, starts, steps, vals, _dtype_of(out))
+    return call is not None and call(obs, out)
+
+
+def nearest_regular(dims, starts, steps, vals, obs, out) -> bool:
+    call = prepare_nearest_regular(dims, starts, steps, vals, _dtype_of(out))
+    return call is not None and call(obs, out)
+
+
+def cubic_regular(dims, starts, steps, vals, linearize, obs, out) -> bool:
+    call = prepare_cubic_regular(
+        dims, starts, steps, vals, linearize, _dtype_of(out)
+    )
+    return call is not None and call(obs, out)
+
+
+def linear_rectilinear(grids, vals, obs, out) -> bool:
+    call = prepare_linear_rectilinear(grids, vals, _dtype_of(out))
+    return call is not None and call(obs, out)
+
+
+def nearest_rectilinear(grids, vals, obs, out) -> bool:
+    call = prepare_nearest_rectilinear(grids, vals, _dtype_of(out))
+    return call is not None and call(obs, out)
+
+
+def cubic_rectilinear(grids, vals, linearize, obs, out) -> bool:
+    call = prepare_cubic_rectilinear(grids, vals, linearize, _dtype_of(out))
+    return call is not None and call(obs, out)

@@ -1,0 +1,454 @@
+// Native CPU kernels for interpn-tpu.
+//
+// Role: the latency path. The TPU path (JAX/XLA) wins on throughput for large
+// query batches, but a single dispatch through the runtime costs tens of
+// microseconds — the reference's headline small-batch numbers (1..1000 points,
+// BASELINE.md "1 obs" rows) are won or lost on call latency. This library
+// evaluates the same algorithms (identical cell location, saturation regions,
+// Hermite construction, and evaluation-tree order as interpn_tpu.ops /
+// the reference semantics in SURVEY.md §2) in nanoseconds per point on the
+// host, and doubles as an exact-parity CPU oracle.
+//
+// Design notes (deliberately not a translation of the reference's Rust):
+//  * One templated kernel family over <dtype, ndims>, instantiated for
+//    ndims 1..8 so the per-dimension loops unroll; a runtime switch picks the
+//    instantiation (the compile-time-specialization role of the reference's
+//    const generics, done the C++ way).
+//  * The corner stencil walk indexes vertices by bit/digit pattern, matching
+//    the vertex ordering used by the TPU kernels, and reduces dimension 0
+//    first — so native and TPU paths agree to the last ulp wherever the
+//    operation order is the same.
+//  * extern "C" surface with raw pointers; bound from Python via ctypes
+//    (no pybind11 in this image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+template <typename T>
+inline T hermite(T t, T y0, T dy, T k0, T k1) {
+  const T a = k0 - dy;
+  const T b = -k1 + dy;
+  const T c1 = dy + a;
+  const T c2 = b - (a + a);
+  const T c3 = a - b;
+  return y0 + t * (c1 + t * (c2 + t * c3));
+}
+
+template <typename T>
+inline T cd_nonuniform(T y0, T y1, T y2, T h01, T h12) {
+  const T a = h01 / (h01 + h12);
+  const T b = (y2 - y1) / h12;
+  const T c = h12 / (h12 + h01);
+  const T d = (y1 - y0) / h01;
+  return a * b + c * d;
+}
+
+enum class Sat : uint8_t { None, InsideLow, OutsideLow, InsideHigh, OutsideHigh };
+
+// partition_point(< v): first index with grid[i] >= v.
+template <typename T>
+inline int64_t lower_count(const T* grid, int64_t n, T v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    const int64_t mid = (lo + hi) >> 1;
+    if (grid[mid] < v) lo = mid + 1; else hi = mid;
+  }
+  return lo;
+}
+
+template <typename T, int N>
+struct LinearRegular {
+  static void run(const int64_t* dims, const T* starts, const T* steps,
+                  const T* vals, const T* const* obs, T* out, int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t base = 0;
+      T t[N];
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const T floc = std::floor((x - starts[k]) / steps[k]);
+        const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        const int64_t loc =
+            (int64_t)std::min<T>(std::max<T>(floc, (T)0), (T)dimmax);
+        t[k] = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
+        base += loc * stride[k];
+      }
+      T store[1 << N];
+      for (int v = 0; v < (1 << N); ++v) {
+        int64_t off = 0;
+        for (int k = 0; k < N; ++k) off += ((v >> k) & 1) * stride[k];
+        store[v] = vals[base + off];
+      }
+      int m = 1 << N;
+      for (int k = 0; k < N; ++k) {
+        m >>= 1;
+        for (int j = 0; j < m; ++j)
+          store[j] = store[2 * j] + t[k] * (store[2 * j + 1] - store[2 * j]);
+      }
+      out[i] = store[0];
+    }
+  }
+};
+
+template <typename T, int N>
+struct LinearRectilinear {
+  static void run(const T* const* grids, const int64_t* dims, const T* vals,
+                  const T* const* obs, T* out, int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t base = 0;
+      T t[N];
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        int64_t loc = lower_count(grids[k], dims[k], x) - 1;
+        loc = std::min(std::max<int64_t>(loc, 0), dimmax);
+        const T x0 = grids[k][loc], x1 = grids[k][loc + 1];
+        t[k] = (x - x0) / (x1 - x0);
+        base += loc * stride[k];
+      }
+      T store[1 << N];
+      for (int v = 0; v < (1 << N); ++v) {
+        int64_t off = 0;
+        for (int k = 0; k < N; ++k) off += ((v >> k) & 1) * stride[k];
+        store[v] = vals[base + off];
+      }
+      int m = 1 << N;
+      for (int k = 0; k < N; ++k) {
+        m >>= 1;
+        for (int j = 0; j < m; ++j)
+          store[j] = store[2 * j] + t[k] * (store[2 * j + 1] - store[2 * j]);
+      }
+      out[i] = store[0];
+    }
+  }
+};
+
+template <typename T>
+inline T cubic_node(T v0, T v1, T v2, T v3, T t, Sat sat, bool linearize) {
+  switch (sat) {
+    case Sat::None: {
+      const T y0 = v1, dy = v2 - v1;
+      const T k0 = (v2 - v0) / (T)2;
+      const T k1 = (v3 - v1) / (T)2;
+      return hermite(t, y0, dy, k0, k1);
+    }
+    case Sat::InsideLow:
+    case Sat::OutsideLow: {
+      const T tt = -t;
+      const T y0 = v1, dy = v0 - v1;
+      const T k0 = -(v2 - v0) / (T)2;
+      const T k1 = (T)2 * dy - k0;
+      if (sat == Sat::OutsideLow && linearize) return v0 + k1 * (tt - (T)1);
+      return hermite(tt, y0, dy, k0, k1);
+    }
+    default: {
+      const T tt = t - (T)1;
+      const T y0 = v2, dy = v3 - v2;
+      const T k0 = (v3 - v1) / (T)2;
+      const T k1 = (T)2 * dy - k0;
+      if (sat == Sat::OutsideHigh && linearize) return v3 + k1 * (tt - (T)1);
+      return hermite(tt, y0, dy, k0, k1);
+    }
+  }
+}
+
+template <typename T>
+inline T cubic_node_rect(T v0, T v1, T v2, T v3, const T* gc, T x, Sat sat,
+                         bool linearize) {
+  const T h01 = gc[1] - gc[0];
+  const T h12 = gc[2] - gc[1];
+  const T h23 = gc[3] - gc[2];
+  switch (sat) {
+    case Sat::None: {
+      const T y0 = v1, dy = v2 - v1;
+      const T k0 = cd_nonuniform(v0, v1, v2, h01 / h12, (T)1);
+      const T k1 = cd_nonuniform(v1, v2, v3, (T)1, h23 / h12);
+      const T t = (x - gc[1]) / h12;
+      return hermite(t, y0, dy, k0, k1);
+    }
+    case Sat::InsideLow:
+    case Sat::OutsideLow: {
+      const T y0 = v1, dy = v0 - v1;
+      const T k0 = -cd_nonuniform(v0, v1, v2, (T)1, h12 / h01);
+      const T k1 = (T)2 * dy - k0;
+      const T t = -(x - gc[1]) / h01;
+      if (sat == Sat::OutsideLow && linearize) return v0 + k1 * (t - (T)1);
+      return hermite(t, y0, dy, k0, k1);
+    }
+    default: {
+      const T y0 = v2, dy = v3 - v2;
+      const T k0 = cd_nonuniform(v1, v2, v3, h12 / h23, (T)1);
+      const T k1 = (T)2 * dy - k0;
+      const T t = (x - gc[2]) / h23;
+      if (sat == Sat::OutsideHigh && linearize) return v3 + k1 * (t - (T)1);
+      return hermite(t, y0, dy, k0, k1);
+    }
+  }
+}
+
+template <typename T, int N>
+struct CubicRegular {
+  static void run(const int64_t* dims, const T* starts, const T* steps,
+                  const T* vals, bool linearize, const T* const* obs, T* out,
+                  int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    constexpr int NV = 1 << (2 * N);  // 4^N
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t base = 0;
+      T t[N];
+      Sat sat[N];
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const T floc = std::floor((x - starts[k]) / steps[k]);
+        const int64_t iloc = (int64_t)floc - 1;
+        const int64_t nn = dims[k];
+        const int64_t dimmax = std::max<int64_t>(nn - 4, 0);
+        const int64_t loc = std::min(std::max<int64_t>(iloc, 0), dimmax);
+        if (iloc < -1) sat[k] = Sat::OutsideLow;
+        else if (iloc == -1) sat[k] = Sat::InsideLow;
+        else if (iloc > nn - 3) sat[k] = Sat::OutsideHigh;
+        else if (iloc == nn - 3) sat[k] = Sat::InsideHigh;
+        else sat[k] = Sat::None;
+        t[k] = (x - (starts[k] + steps[k] * (T)(loc + 1))) / steps[k];
+        base += loc * stride[k];
+      }
+      T store[NV];
+      for (int v = 0; v < NV; ++v) {
+        int64_t off = 0;
+        for (int k = 0; k < N; ++k) off += ((v >> (2 * k)) & 3) * stride[k];
+        store[v] = vals[base + off];
+      }
+      int m = NV;
+      for (int k = 0; k < N; ++k) {
+        m >>= 2;
+        for (int j = 0; j < m; ++j)
+          store[j] = cubic_node(store[4 * j], store[4 * j + 1], store[4 * j + 2],
+                                store[4 * j + 3], t[k], sat[k], linearize);
+      }
+      out[i] = store[0];
+    }
+  }
+};
+
+template <typename T, int N>
+struct CubicRectilinear {
+  static void run(const T* const* grids, const int64_t* dims, const T* vals,
+                  bool linearize, const T* const* obs, T* out, int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    constexpr int NV = 1 << (2 * N);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t base = 0;
+      int64_t locs[N];
+      Sat sat[N];
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const int64_t nn = dims[k];
+        const int64_t iloc = lower_count(grids[k], nn, x) - 2;
+        const int64_t dimmax = std::max<int64_t>(nn - 4, 0);
+        const int64_t loc = std::min(std::max<int64_t>(iloc, 0), dimmax);
+        if (iloc == -2) sat[k] = Sat::OutsideLow;
+        else if (iloc == -1) sat[k] = Sat::InsideLow;
+        else if (iloc == nn - 2) sat[k] = Sat::OutsideHigh;
+        else if (iloc == nn - 3) sat[k] = Sat::InsideHigh;
+        else sat[k] = Sat::None;
+        locs[k] = loc;
+        base += loc * stride[k];
+      }
+      T store[NV];
+      for (int v = 0; v < NV; ++v) {
+        int64_t off = 0;
+        for (int k = 0; k < N; ++k) off += ((v >> (2 * k)) & 3) * stride[k];
+        store[v] = vals[base + off];
+      }
+      int m = NV;
+      for (int k = 0; k < N; ++k) {
+        m >>= 2;
+        const T* gc = grids[k] + locs[k];
+        for (int j = 0; j < m; ++j)
+          store[j] = cubic_node_rect(store[4 * j], store[4 * j + 1],
+                                     store[4 * j + 2], store[4 * j + 3], gc,
+                                     obs[k][i], sat[k], linearize);
+      }
+      out[i] = store[0];
+    }
+  }
+};
+
+template <typename T, int N>
+struct NearestRegular {
+  static void run(const int64_t* dims, const T* starts, const T* steps,
+                  const T* vals, const T* const* obs, T* out, int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t flat = 0;
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const T floc = std::floor((x - starts[k]) / steps[k]);
+        const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        const int64_t loc =
+            (int64_t)std::min<T>(std::max<T>(floc, (T)0), (T)dimmax);
+        const T dt = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
+        flat += (loc + (dt <= (T)0.5 ? 0 : 1)) * stride[k];
+      }
+      out[i] = vals[flat];
+    }
+  }
+};
+
+template <typename T, int N>
+struct NearestRectilinear {
+  static void run(const T* const* grids, const int64_t* dims, const T* vals,
+                  const T* const* obs, T* out, int64_t n) {
+    int64_t stride[N];
+    int64_t acc = 1;
+    for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t flat = 0;
+      for (int k = 0; k < N; ++k) {
+        const T x = obs[k][i];
+        const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        int64_t loc = lower_count(grids[k], dims[k], x) - 1;
+        loc = std::min(std::max<int64_t>(loc, 0), dimmax);
+        const T x0 = grids[k][loc], x1 = grids[k][loc + 1];
+        const T dt = (x - x0) / (x1 - x0);
+        flat += (loc + (dt <= (T)0.5 ? 0 : 1)) * stride[k];
+      }
+      out[i] = vals[flat];
+    }
+  }
+};
+
+template <template <typename, int> class K, typename T, typename... A>
+int dispatch_regular(int ndims, A... a) {
+  switch (ndims) {
+    case 1: K<T, 1>::run(a...); return 0;
+    case 2: K<T, 2>::run(a...); return 0;
+    case 3: K<T, 3>::run(a...); return 0;
+    case 4: K<T, 4>::run(a...); return 0;
+    case 5: K<T, 5>::run(a...); return 0;
+    case 6: K<T, 6>::run(a...); return 0;
+    case 7: K<T, 7>::run(a...); return 0;
+    case 8: K<T, 8>::run(a...); return 0;
+    default: return 1;
+  }
+}
+
+// 4^7/4^8 stencils blow up the stack-array instantiation size; cap cubic at 6.
+template <template <typename, int> class K, typename T, typename... A>
+int dispatch_cubic(int ndims, A... a) {
+  switch (ndims) {
+    case 1: K<T, 1>::run(a...); return 0;
+    case 2: K<T, 2>::run(a...); return 0;
+    case 3: K<T, 3>::run(a...); return 0;
+    case 4: K<T, 4>::run(a...); return 0;
+    case 5: K<T, 5>::run(a...); return 0;
+    case 6: K<T, 6>::run(a...); return 0;
+    default: return 1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+#define REGULAR_FN(name, T, KERNEL)                                          \
+  int name(const int64_t* dims, int ndims, const T* starts, const T* steps,  \
+           const T* vals, const T* const* obs, T* out, int64_t n) {          \
+    return dispatch_regular<KERNEL, T>(ndims, dims, starts, steps, vals,     \
+                                       obs, out, n);                         \
+  }
+
+REGULAR_FN(itn_linear_regular_f64, double, LinearRegular)
+REGULAR_FN(itn_linear_regular_f32, float, LinearRegular)
+REGULAR_FN(itn_nearest_regular_f64, double, NearestRegular)
+REGULAR_FN(itn_nearest_regular_f32, float, NearestRegular)
+
+#define RECT_FN(name, T, KERNEL)                                             \
+  int name(const T* const* grids, const int64_t* dims, int ndims,            \
+           const T* vals, const T* const* obs, T* out, int64_t n) {          \
+    return dispatch_regular<KERNEL, T>(ndims, grids, dims, vals, obs, out,   \
+                                       n);                                   \
+  }
+
+RECT_FN(itn_linear_rectilinear_f64, double, LinearRectilinear)
+RECT_FN(itn_linear_rectilinear_f32, float, LinearRectilinear)
+RECT_FN(itn_nearest_rectilinear_f64, double, NearestRectilinear)
+RECT_FN(itn_nearest_rectilinear_f32, float, NearestRectilinear)
+
+#define CUBIC_REGULAR_FN(name, T)                                            \
+  int name(const int64_t* dims, int ndims, const T* starts, const T* steps,  \
+           const T* vals, int linearize, const T* const* obs, T* out,        \
+           int64_t n) {                                                      \
+    return dispatch_cubic<CubicRegular, T>(ndims, dims, starts, steps, vals, \
+                                           linearize != 0, obs, out, n);     \
+  }
+
+CUBIC_REGULAR_FN(itn_cubic_regular_f64, double)
+CUBIC_REGULAR_FN(itn_cubic_regular_f32, float)
+
+#define CUBIC_RECT_FN(name, T)                                               \
+  int name(const T* const* grids, const int64_t* dims, int ndims,            \
+           const T* vals, int linearize, const T* const* obs, T* out,        \
+           int64_t n) {                                                      \
+    return dispatch_cubic<CubicRectilinear, T>(ndims, grids, dims, vals,     \
+                                               linearize != 0, obs, out, n); \
+  }
+
+CUBIC_RECT_FN(itn_cubic_rectilinear_f64, double)
+CUBIC_RECT_FN(itn_cubic_rectilinear_f32, float)
+
+#define BOUNDS_REGULAR_FN(name, T)                                           \
+  int name(const int64_t* dims, int ndims, const T* starts, const T* steps,  \
+           const T* const* obs, double atol, int64_t n, uint8_t* out) {      \
+    for (int k = 0; k < ndims; ++k) {                                        \
+      const T first = starts[k];                                             \
+      const T last = starts[k] + steps[k] * (T)(dims[k] - 1);                \
+      const T lo = std::min(first, last), hi = std::max(first, last);        \
+      uint8_t bad = 0;                                                       \
+      for (int64_t i = 0; i < n && !bad; ++i) {                              \
+        const T x = obs[k][i];                                               \
+        if ((x - lo) <= -(T)atol || (x - hi) >= (T)atol) bad = 1;            \
+      }                                                                      \
+      out[k] = bad;                                                          \
+    }                                                                        \
+    return 0;                                                                \
+  }
+
+BOUNDS_REGULAR_FN(itn_check_bounds_regular_f64, double)
+BOUNDS_REGULAR_FN(itn_check_bounds_regular_f32, float)
+
+#define BOUNDS_RECT_FN(name, T)                                              \
+  int name(const T* const* grids, const int64_t* dims, int ndims,            \
+           const T* const* obs, double atol, int64_t n, uint8_t* out) {      \
+    for (int k = 0; k < ndims; ++k) {                                        \
+      const T lo = grids[k][0];                                              \
+      const T hi = grids[k][dims[k] - 1];                                    \
+      uint8_t bad = 0;                                                       \
+      for (int64_t i = 0; i < n && !bad; ++i) {                              \
+        const T x = obs[k][i];                                               \
+        if ((x - lo) <= -(T)atol || (x - hi) >= (T)atol) bad = 1;            \
+      }                                                                      \
+      out[k] = bad;                                                          \
+    }                                                                        \
+    return 0;                                                                \
+  }
+
+BOUNDS_RECT_FN(itn_check_bounds_rectilinear_f64, double)
+BOUNDS_RECT_FN(itn_check_bounds_rectilinear_f32, float)
+
+}  // extern "C"

@@ -4,8 +4,9 @@ TPU-native re-design of the reference's cubic kernels
 (`src/multicubic/regular.rs:325-623`, `src/multicubic/rectilinear.rs:265-545`,
 shared math `src/multicubic/mod.rs:68-117`):
 
-* One batched gather fetches the full 4^N stencil per query (static digit-
-  pattern offsets, like the linear path but base-4).
+* The 4^N stencil is fetched as one flat gather per vertex with a
+  compile-time-constant offset (see `ops/_gather.py` for why this shape is
+  the fast one on TPU), ordered by the reference's base-4 digit pattern.
 * The per-axis Hermite evaluation — the reference's 5-way `Saturation` match —
   is flattened into branchless `where`-selects. All five cases share the same
   `normalized_hermite_spline` shape; only (t, y0, dy, k0, k1) differ:
@@ -15,7 +16,9 @@ shared math `src/multicubic/mod.rs:68-117`):
     Inside/OutsideHigh: t'=t-1, y0=v2, dy=v3-v2, k0=(v3-v1)/2, k1=2*dy-k0
   With `linearize_extrapolation`, the two Outside cases become
   y_edge + k1*(t'-1) instead of the spline (`regular.rs:553-561,609-617`).
-* Reduction order matches the reference tree: dim 0 first, dim N-1 last.
+* The dependency tree reduces groups of 4 adjacent list entries per level —
+  dimension 0 first, dimension N-1 last, matching the reference's evaluation
+  order (`regular.rs:368-412`).
 
 The rectilinear variant additionally carries the 4 bracketing grid coordinates
 per dimension and uses the distance-weighted nonuniform centered difference
@@ -27,9 +30,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ._gather import take1
-
-from ..utils import c_strides, corner_offsets
+from ..utils import c_strides
+from ._gather import LIST_MAX_VERTS, gather_corners, gather_corners_matrix
 from .locate import locate_regular_cubic, locate_rectilinear_cubic
 
 _I32 = jnp.int32
@@ -55,13 +57,13 @@ def _centered_diff_nonuniform(y0, y1, y2, h01, h12):
     return a * b + c * d
 
 
-def _axis_reduce_regular(c, t, low, high, outside, linearize: bool):
-    """One level of the cubic dependency tree on a regular grid.
+def _axis_reduce_regular(v, t, low, high, outside, linearize: bool):
+    """One node of the cubic dependency tree on a regular grid.
 
-    c has shape (..., 4); t/low/high/outside broadcast against c[..., 0].
-    Vectorized form of `interp_inner` (`src/multicubic/regular.rs:472-623`).
+    v is a tuple of 4 per-point arrays. Vectorized form of `interp_inner`
+    (`src/multicubic/regular.rs:472-623`).
     """
-    v0, v1, v2, v3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    v0, v1, v2, v3 = v
     tt = jnp.where(low, -t, jnp.where(high, t - 1.0, t))
     y0 = jnp.where(high, v2, v1)
     dy = jnp.where(low, v0 - v1, jnp.where(high, v3 - v2, v2 - v1))
@@ -77,15 +79,15 @@ def _axis_reduce_regular(c, t, low, high, outside, linearize: bool):
     return jnp.where(outside, lin, spline)
 
 
-def _axis_reduce_rectilinear(c, x, gc, low, high, outside, linearize: bool):
-    """One level of the cubic tree on a rectilinear grid.
+def _axis_reduce_rectilinear(v, x, gc, low, high, outside, linearize: bool):
+    """One node of the cubic tree on a rectilinear grid.
 
-    gc has shape x.shape + (4,): the bracketing grid coordinates. Vectorized
-    form of the rectilinear `interp_inner`
+    v is a tuple of 4 per-point arrays; gc a tuple of the 4 bracketing grid
+    coordinates. Vectorized form of the rectilinear `interp_inner`
     (`src/multicubic/rectilinear.rs:411-545`).
     """
-    v0, v1, v2, v3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
-    g0, g1, g2, g3 = gc[..., 0], gc[..., 1], gc[..., 2], gc[..., 3]
+    v0, v1, v2, v3 = v
+    g0, g1, g2, g3 = gc
     h01 = g1 - g0
     h12 = g2 - g1
     h23 = g3 - g2
@@ -118,13 +120,6 @@ def _axis_reduce_rectilinear(c, x, gc, low, high, outside, linearize: bool):
     return jnp.where(outside, lin, spline)
 
 
-def _bshape(arr, tail_axes: int):
-    """Reshape a per-point array for broadcasting against a corner tensor
-    that still carries `tail_axes` unreduced stencil axes after the current
-    one is consumed."""
-    return arr.reshape(arr.shape + (1,) * tail_axes)
-
-
 def cubic_regular(
     dims: tuple[int, ...], starts, steps, vals, obs, linearize_extrapolation: bool
 ):
@@ -141,22 +136,35 @@ def cubic_regular(
         cl = locate_regular_cubic(obs[k], starts[k], steps[k], dims[k])
         base = base + cl.loc * strides[k]
         per_dim.append(cl)
-    offs = jnp.asarray(corner_offsets(dims, 4))
-    idx = base[..., None] + offs
-    c = take1(vals, idx)
-    c = c.reshape(base.shape + (4,) * ndims)
-    for k in range(ndims):
-        cl = per_dim[k]
-        tail = ndims - 1 - k
+    if 4**ndims <= LIST_MAX_VERTS:
+        c = gather_corners(vals, base, dims, 4)
+        for cl in per_dim:
+            c = [
+                _axis_reduce_regular(
+                    (c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3]),
+                    cl.t,
+                    cl.low,
+                    cl.high,
+                    cl.outside,
+                    linearize_extrapolation,
+                )
+                for j in range(len(c) // 4)
+            ]
+        return c[0]
+
+    # Large-stencil tail (5-8D): vectorize the tree over the vertex axis.
+    c = gather_corners_matrix(vals, base, dims, 4)
+    for cl in per_dim:
+        g = c.reshape(c.shape[0] // 4, 4, *c.shape[1:])
         c = _axis_reduce_regular(
-            c,
-            _bshape(cl.t, tail),
-            _bshape(cl.low, tail),
-            _bshape(cl.high, tail),
-            _bshape(cl.outside, tail),
+            (g[:, 0], g[:, 1], g[:, 2], g[:, 3]),
+            cl.t,
+            cl.low,
+            cl.high,
+            cl.outside,
             linearize_extrapolation,
         )
-    return c
+    return c[0]
 
 
 def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool):
@@ -175,20 +183,36 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool):
         cl, gc = locate_rectilinear_cubic(obs[k], grids[k])
         base = base + cl.loc * strides[k]
         per_dim.append((cl, gc))
-    offs = jnp.asarray(corner_offsets(dims, 4))
-    idx = base[..., None] + offs
-    c = take1(vals, idx)
-    c = c.reshape(base.shape + (4,) * ndims)
+    if 4**ndims <= LIST_MAX_VERTS:
+        c = gather_corners(vals, base, dims, 4)
+        for k in range(ndims):
+            cl, gct = per_dim[k]
+            c = [
+                _axis_reduce_rectilinear(
+                    (c[4 * j], c[4 * j + 1], c[4 * j + 2], c[4 * j + 3]),
+                    obs[k],
+                    gct,
+                    cl.low,
+                    cl.high,
+                    cl.outside,
+                    linearize_extrapolation,
+                )
+                for j in range(len(c) // 4)
+            ]
+        return c[0]
+
+    # Large-stencil tail (5-8D): vectorize the tree over the vertex axis.
+    c = gather_corners_matrix(vals, base, dims, 4)
     for k in range(ndims):
-        cl, gc = per_dim[k]
-        tail = ndims - 1 - k
+        cl, gct = per_dim[k]
+        g = c.reshape(c.shape[0] // 4, 4, *c.shape[1:])
         c = _axis_reduce_rectilinear(
-            c,
-            _bshape(obs[k], tail),
-            gc.reshape(gc.shape[:-1] + (1,) * tail + (4,)),
-            _bshape(cl.low, tail),
-            _bshape(cl.high, tail),
-            _bshape(cl.outside, tail),
+            (g[:, 0], g[:, 1], g[:, 2], g[:, 3]),
+            obs[k],
+            gct,
+            cl.low,
+            cl.high,
+            cl.outside,
             linearize_extrapolation,
         )
-    return c
+    return c[0]

@@ -22,28 +22,25 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ._gather import take1
+from ._gather import gather_corners
 
-from ..utils import c_strides, corner_offsets
+from ..utils import c_strides
 from .locate import locate_regular_linear, locate_rectilinear_linear
 
 _I32 = jnp.int32
 
 
 def _lerp_reduce(corners, ts):
-    """Reduce a (n, 2, ..., 2) corner tensor with repeated 1D lerps.
+    """Collapse the corner list with repeated 1D lerps.
 
-    Reduces the LAST axis first, which corresponds to dimension 0 under the
-    bit-pattern corner ordering — the same evaluation order as the reference's
-    flattened tree (level j consumes dts[j-1], `regular.rs:368-403`).
+    Pairs adjacent list entries (which differ in dimension 0's bit) first —
+    the same evaluation order as the reference's flattened tree (level j
+    consumes dts[j-1], `regular.rs:368-403`).
     """
-    ndims = len(ts)
     c = corners
-    for k in range(ndims):
-        t = ts[k].reshape(ts[k].shape + (1,) * (ndims - 1 - k))
-        y0 = c[..., 0]
-        c = y0 + t * (c[..., 1] - y0)
-    return c
+    for t in ts:
+        c = [y0 + t * (y1 - y0) for y0, y1 in zip(c[0::2], c[1::2])]
+    return c[0]
 
 
 def linear_regular(dims: tuple[int, ...], starts, steps, vals, obs):
@@ -68,10 +65,7 @@ def linear_regular(dims: tuple[int, ...], starts, steps, vals, obs):
         loc, t = locate_regular_linear(obs[k], starts[k], steps[k], dims[k])
         base = base + loc * strides[k]
         ts.append(t)
-    offs = jnp.asarray(corner_offsets(dims, 2))
-    idx = base[..., None] + offs
-    corners = take1(vals, idx)
-    corners = corners.reshape(base.shape + (2,) * ndims)
+    corners = gather_corners(vals, base, dims, 2)
     return _lerp_reduce(corners, ts)
 
 
@@ -91,8 +85,5 @@ def linear_rectilinear(grids, vals, obs):
         loc, x0, x1 = locate_rectilinear_linear(obs[k], grids[k])
         base = base + loc * strides[k]
         ts.append((obs[k] - x0) / (x1 - x0))
-    offs = jnp.asarray(corner_offsets(dims, 2))
-    idx = base[..., None] + offs
-    corners = take1(vals, idx)
-    corners = corners.reshape(base.shape + (2,) * ndims)
+    corners = gather_corners(vals, base, dims, 2)
     return _lerp_reduce(corners, ts)

@@ -100,8 +100,9 @@ def locate_rectilinear_cubic(x, grid) -> tuple[CubicLoc, jnp.ndarray]:
       OutsideLow:  iloc == -2    InsideLow:  iloc == -1
       OutsideHigh: iloc == n-2   InsideHigh: iloc == n-3
 
-    Returns (CubicLoc, grid_cell) where grid_cell has shape x.shape + (4,)
-    holding grid[loc:loc+4]. CubicLoc.t is *not* populated for rectilinear
+    Returns (CubicLoc, grid_cell) where grid_cell is a tuple of 4 arrays
+    shaped like x holding grid[loc+0..3] (four flat gathers — see
+    `ops/_gather.py` for why). CubicLoc.t is *not* populated for rectilinear
     grids (the normalized coordinate is case-dependent and computed in the
     evaluation kernel from x and grid_cell); it carries x instead.
     """
@@ -111,6 +112,5 @@ def locate_rectilinear_cubic(x, grid) -> tuple[CubicLoc, jnp.ndarray]:
     low = iloc <= -1
     high = (~low) & (iloc >= dim - 3)
     outside = (iloc < -1) | ((~low) & (iloc > dim - 3))
-    idx = loc[..., None] + jnp.arange(4, dtype=_I32)
-    grid_cell = take1(grid, idx)
+    grid_cell = tuple(take1(grid, loc + i) for i in range(4))
     return CubicLoc(loc, x, low, high, outside), grid_cell

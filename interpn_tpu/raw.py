@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import ops
+from . import native, ops
 
 __all__ = [
     "interpn_linear_regular_f64",
@@ -156,6 +156,16 @@ def _to_dev(a, dtype):
     return jnp.asarray(np.asarray(a).ravel(), dtype=dtype)
 
 
+def _host_small(out, n, *data):
+    """True when this call should take the native CPU path: small batch,
+    numpy (host) data, preallocated numpy out."""
+    return (
+        isinstance(out, np.ndarray)
+        and native.use_native(n)
+        and not any(isinstance(a, jax.Array) for a in data)
+    )
+
+
 def _prep(dtype, *arrays):
     return tuple(_to_dev(a, dtype) for a in arrays)
 
@@ -177,6 +187,10 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
         dims, starts, steps, vals, obs, out,
         min_size=2, size_msg="All grids must have at least two entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.linear_regular(
+        dims, starts, steps, vals, obs, out
+    ):
+        return out
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
     return _finish(_linear_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
@@ -197,6 +211,10 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
         grids, vals, obs, out,
         min_size=2, size_msg="All grids must have at least 2 entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.linear_rectilinear(
+        grids, vals, obs, out
+    ):
+        return out
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
@@ -219,6 +237,10 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
         dims, starts, steps, vals, obs, out,
         min_size=2, size_msg="All grids must have at least two entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.nearest_regular(
+        dims, starts, steps, vals, obs, out
+    ):
+        return out
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
     return _finish(_nearest_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
@@ -239,6 +261,10 @@ def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
         grids, vals, obs, out,
         min_size=2, size_msg="All grids must have at least 2 entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.nearest_rectilinear(
+        grids, vals, obs, out
+    ):
+        return out
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
@@ -263,6 +289,10 @@ def _interpn_cubic_regular(
         dims, starts, steps, vals, obs, out,
         min_size=4, size_msg="All grids must have at least four entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.cubic_regular(
+        dims, starts, steps, vals, bool(linearize_extrapolation), obs, out
+    ):
+        return out
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
     result = _cubic_regular(
@@ -290,6 +320,10 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
         grids, vals, obs, out,
         min_size=4, size_msg="All grids must have at least 4 entries",
     )
+    if _host_small(out, _size(out), vals, *obs) and native.cubic_rectilinear(
+        grids, vals, bool(linearize_extrapolation), obs, out
+    ):
+        return out
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
