@@ -1,0 +1,107 @@
+"""Factorized (MXU) path: parity with the gather path on all four families,
+including saturation regions, both extrapolation modes, and the chunked
+query loop."""
+
+import numpy as np
+import pytest
+
+import interpn_tpu  # noqa: F401  (x64 setup)
+import jax.numpy as jnp
+
+from interpn_tpu.ops import cubic, factorized as fz, linear
+from interpn_tpu.ops import dispatch
+
+
+def _case(ndims, min_pts, seed):
+    rng = np.random.default_rng(seed)
+    dims = tuple(int(rng.integers(min_pts, min_pts + 3)) for _ in range(ndims))
+    starts = jnp.asarray(rng.uniform(-2, 2, ndims))
+    steps = jnp.asarray(rng.uniform(0.3, 1.5, ndims))
+    grids = tuple(
+        jnp.asarray(np.cumsum(0.2 + rng.random(d)) + rng.uniform(-3, 3))
+        for d in dims
+    )
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    n = 300
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(
+                float(starts[k]) - 3,
+                float(starts[k]) + float(steps[k]) * (dims[k] + 3),
+                n,
+            )
+        )
+        for k in range(ndims)
+    )
+    return dims, starts, steps, grids, vals, obs
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_linear_regular_factorized_matches_gather(ndims):
+    dims, starts, steps, _, vals, obs = _case(ndims, 2, 42 + ndims)
+    a = linear.linear_regular(dims, starts, steps, vals, obs)
+    b = fz.linear_regular_factorized(dims, starts, steps, vals, obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_linear_rectilinear_factorized_matches_gather(ndims):
+    dims, _, _, grids, vals, _ = _case(ndims, 2, 52 + ndims)
+    rng = np.random.default_rng(99)
+    obs = tuple(
+        jnp.asarray(rng.uniform(float(g[0]) - 2, float(g[-1]) + 2, 300))
+        for g in grids
+    )
+    a = linear.linear_rectilinear(grids, vals, obs)
+    b = fz.linear_rectilinear_factorized(grids, vals, obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+@pytest.mark.parametrize("linearize", [True, False])
+def test_cubic_regular_factorized_matches_gather(ndims, linearize):
+    dims, starts, steps, _, vals, obs = _case(ndims, 4, 62 + ndims)
+    a = cubic.cubic_regular(dims, starts, steps, vals, obs, linearize)
+    b = fz.cubic_regular_factorized(dims, starts, steps, vals, obs, linearize)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+@pytest.mark.parametrize("linearize", [True, False])
+def test_cubic_rectilinear_factorized_matches_gather(ndims, linearize):
+    dims, _, _, grids, vals, _ = _case(ndims, 4, 72 + ndims)
+    rng = np.random.default_rng(7)
+    obs = tuple(
+        jnp.asarray(rng.uniform(float(g[0]) - 2, float(g[-1]) + 2, 300))
+        for g in grids
+    )
+    a = cubic.cubic_rectilinear(grids, vals, obs, linearize)
+    b = fz.cubic_rectilinear_factorized(grids, vals, obs, linearize)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-11)
+
+
+def test_chunked_query_loop(monkeypatch):
+    """Force tiny chunks so the lax.map path executes, with a non-divisible
+    query count (exercises padding + truncation)."""
+    monkeypatch.setattr(fz, "_CHUNK_BYTES", 1)  # chunk floor = 8192
+    rng = np.random.default_rng(3)
+    dims = (5, 5)
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+    vals = jnp.asarray(rng.standard_normal(25))
+    n = 8192 * 2 + 1234
+    obs = tuple(jnp.asarray(rng.uniform(-1, 6, n)) for _ in range(2))
+    a = linear.linear_regular(dims, starts, steps, vals, obs)
+    b = fz.linear_regular_factorized(dims, starts, steps, vals, obs)
+    assert b.shape == (n,)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+
+
+def test_dispatch_env_override(monkeypatch):
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "factorized")
+    assert dispatch._impl(jnp.float64, 10**9, 1) == "factorized"
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
+    assert dispatch._impl(jnp.float32, 8, 10**9) == "gather"
+    monkeypatch.delenv("INTERPN_TPU_IMPL")
+    # auto: f64 never factorized; f32 only on TPU backends
+    assert dispatch._impl(jnp.float64, 8000, 10**6) == "gather"
