@@ -30,7 +30,13 @@ import numpy as np
 _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "interpn_native.cpp"
 
-NATIVE_THRESHOLD = int(os.environ.get("INTERPN_TPU_NATIVE_THRESHOLD", "4096"))
+# Optional crossover: if set, batches >= this size go to the device path.
+# Unset (default), ALL host-resident (numpy) batches use the native path:
+# measured end-to-end, the native kernels outperform the full host->device->
+# host round trip at every size in this environment, and device-resident
+# callers use the JAX API directly anyway.
+_THRESHOLD_ENV = os.environ.get("INTERPN_TPU_NATIVE_THRESHOLD")
+NATIVE_THRESHOLD = int(_THRESHOLD_ENV) if _THRESHOLD_ENV else None
 
 _lib = None
 _tried = False
@@ -84,14 +90,20 @@ def available() -> bool:
 
 
 def use_native(n: int) -> bool:
-    """Dispatch policy: native host path for small batches (latency regime),
-    device path for large ones (bandwidth regime)."""
+    """Dispatch policy for host-resident (numpy) data.
+
+    Default: always native when the backend built (see NATIVE_THRESHOLD
+    above). INTERPN_TPU_NATIVE=0 disables; INTERPN_TPU_NATIVE_THRESHOLD=<n>
+    restores a size crossover to the device path for deployments with fast
+    host<->device links."""
     mode = os.environ.get("INTERPN_TPU_NATIVE", "1")
     if mode == "0":
         return False
     if mode == "always":
         return available()
-    return n < NATIVE_THRESHOLD and available()
+    if NATIVE_THRESHOLD is not None and n >= NATIVE_THRESHOLD:
+        return False
+    return available()
 
 
 def _c(a, dtype):

@@ -1,0 +1,55 @@
+"""Profiling and timing helpers (the reference's tracing subsystem analogue:
+criterion benches + timeit harness, SURVEY.md §5 row 1 — here built on
+jax.profiler and a memoization-proof device timer).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/interpn_tpu_trace"):
+    """Capture a jax.profiler trace of the enclosed block (view with
+    TensorBoard or xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_timeit(kernel, obs_sets, *, reps: int | None = None) -> float:
+    """Seconds per evaluation of `kernel(obs_tuple)` measured on device.
+
+    `obs_sets` is a stacked array (R, ndims, n) of R DISTINCT observation
+    batches; the kernel is scanned over them inside one jit. Distinct inputs
+    matter: execution-result caching in some runtimes (e.g. this image's TPU
+    relay) makes repeat-timing with identical buffers meaningless, and the
+    scan also amortizes per-call dispatch overhead.
+    """
+    r = obs_sets.shape[0] if reps is None else reps
+
+    @jax.jit
+    def run(stack):
+        def body(acc, ob):
+            out = kernel(tuple(ob))
+            return acc + out[0] + out[-1], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), stack.dtype), stack)
+        return acc
+
+    jax.block_until_ready(run(obs_sets))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(obs_sets))
+    return (time.perf_counter() - t0) / r
+
+
+def compiled_hlo(fn, *args, **kwargs) -> str:
+    """Compiled HLO text of jit(fn)(*args) — for inspecting fusion and
+    confirming the absence of collectives on sharded paths."""
+    return jax.jit(fn).lower(*args, **kwargs).compile().as_text()

@@ -90,8 +90,14 @@ def test_native_disabled_env(monkeypatch):
     monkeypatch.setenv("INTERPN_TPU_NATIVE", "always")
     assert native.use_native(10**9)
     monkeypatch.delenv("INTERPN_TPU_NATIVE")
+    # default: all host-data batches are native
+    assert native.use_native(10)
+    assert native.use_native(10**9)
+    # explicit threshold restores the crossover
+    monkeypatch.setattr(native, "NATIVE_THRESHOLD", 4096)
     assert native.use_native(10)
     assert not native.use_native(10**9)
+    monkeypatch.setattr(native, "NATIVE_THRESHOLD", None)
 
 
 def test_native_high_dim_falls_back():
