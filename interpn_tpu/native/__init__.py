@@ -85,6 +85,46 @@ def _load():
     return _lib
 
 
+_fastcall = None
+_fastcall_tried = False
+
+
+def _load_fastcall():
+    """Build/import the _interpn_fastcall C extension (CPython C API call
+    plumbing, see fastcall.c). Optional: everything works without it, just
+    with ~10 us more per-call overhead from ctypes."""
+    global _fastcall, _fastcall_tried
+    if _fastcall_tried:
+        return _fastcall
+    _fastcall_tried = True
+    import importlib.machinery
+    import importlib.util
+    import sysconfig
+
+    src = _DIR / "fastcall.c"
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    so = _DIR / f"_interpn_fastcall_{tag}.so"
+    if not so.exists():
+        inc = sysconfig.get_paths()["include"]
+        cmd = [
+            "g++", "-O2", "-shared", "-fPIC", f"-I{inc}",
+            "-x", "c", str(src), "-o", str(so),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except Exception:
+            return None
+    try:
+        loader = importlib.machinery.ExtensionFileLoader("_interpn_fastcall", str(so))
+        spec = importlib.util.spec_from_loader("_interpn_fastcall", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        _fastcall = mod
+    except Exception:
+        _fastcall = None
+    return _fastcall
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -117,6 +157,24 @@ def _obs_ptrs(obs, dtype):
     return arrs, ptrs
 
 
+def _fn_addr(fn) -> int:
+    return ctypes.cast(fn, _VOIDP).value
+
+
+def _compose(fast, slow):
+    """Fast C-extension call with ctypes fallback (the fast path demands
+    exact-dtype contiguous buffers; anything else falls through)."""
+    if fast is None:
+        return slow
+
+    def call(obs, out) -> bool:
+        if fast(obs, out):
+            return True
+        return slow(obs, out)
+
+    return call
+
+
 # ---------------------------------------------------------------------------
 # prepared (grid-frozen) callables — used by the persistent model classes
 # ---------------------------------------------------------------------------
@@ -140,7 +198,15 @@ def prepare_linear_regular(dims, starts, steps, vals, dtype):
         assert keep is not None
         return rc == 0
 
-    return call
+    fast = None
+    fc = _load_fastcall()
+    if fc is not None:
+        fast = fc.prepare(
+            _fn_addr(fn), 0, ndims, 0, 8 if dtype == np.float64 else 4,
+            tuple(int(x) for x in d64), st.ctypes.data, sp.ctypes.data,
+            None, v.ctypes.data, keep,
+        )
+    return _compose(fast, call)
 
 
 def prepare_nearest_regular(dims, starts, steps, vals, dtype):
@@ -161,7 +227,15 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
         assert keep is not None
         return rc == 0
 
-    return call
+    fast = None
+    fc = _load_fastcall()
+    if fc is not None:
+        fast = fc.prepare(
+            _fn_addr(fn), 0, ndims, 0, 8 if dtype == np.float64 else 4,
+            tuple(int(x) for x in d64), st.ctypes.data, sp.ctypes.data,
+            None, v.ctypes.data, keep,
+        )
+    return _compose(fast, call)
 
 
 def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
@@ -186,7 +260,16 @@ def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
         assert keep is not None
         return rc == 0
 
-    return call
+    fast = None
+    fc = _load_fastcall()
+    if fc is not None:
+        fast = fc.prepare(
+            _fn_addr(fn), 1, ndims, 1 if linearize else 0,
+            8 if dtype == np.float64 else 4,
+            tuple(int(x) for x in d64), st.ctypes.data, sp.ctypes.data,
+            None, v.ctypes.data, keep,
+        )
+    return _compose(fast, call)
 
 
 def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()):
@@ -209,7 +292,17 @@ def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()
         assert keep is not None
         return rc == 0
 
-    return call
+    fast = None
+    fc = _load_fastcall()
+    if fc is not None:
+        kind = 3 if extra else 2
+        lin = int(extra[0].value) if extra else 0
+        fast = fc.prepare(
+            _fn_addr(fn), kind, ndims, lin, 8 if dtype == np.float64 else 4,
+            tuple(int(x) for x in d64),
+            0, 0, tuple(g.ctypes.data for g in gs), v.ctypes.data, keep,
+        )
+    return _compose(fast, call)
 
 
 def prepare_linear_rectilinear(grids, vals, dtype):
@@ -272,3 +365,58 @@ def nearest_rectilinear(grids, vals, obs, out) -> bool:
 def cubic_rectilinear(grids, vals, linearize, obs, out) -> bool:
     call = prepare_cubic_rectilinear(grids, vals, linearize, _dtype_of(out))
     return call is not None and call(obs, out)
+
+
+def check_bounds_regular(dims, starts, steps, obs, atol, out) -> bool:
+    """Per-dimension bounds flags on the host (out: uint8/bool array)."""
+    lib = _load()
+    ndims = len(dims)
+    if lib is None or ndims == 0:
+        return False
+    dtype = np.float64 if np.asarray(starts).dtype == np.float64 else np.float32
+    fn = (
+        lib.itn_check_bounds_regular_f64
+        if dtype == np.float64
+        else lib.itn_check_bounds_regular_f32
+    )
+    d64 = np.asarray(dims, dtype=np.int64)
+    st, sp = _c(starts, dtype), _c(steps, dtype)
+    arrs, ptrs = _obs_ptrs(obs, dtype)
+    n = arrs[0].size
+    flags = np.zeros(ndims, dtype=np.uint8)
+    rc = fn(
+        _VOIDP(d64.ctypes.data), ctypes.c_int(ndims), _VOIDP(st.ctypes.data),
+        _VOIDP(sp.ctypes.data), ptrs, _DBL(float(atol)), _I64(n),
+        _VOIDP(flags.ctypes.data),
+    )
+    if rc != 0:
+        return False
+    np.copyto(out, flags.astype(out.dtype))
+    return True
+
+
+def check_bounds_rectilinear(grids, obs, atol, out) -> bool:
+    lib = _load()
+    ndims = len(grids)
+    if lib is None or ndims == 0:
+        return False
+    dtype = np.float64 if np.asarray(grids[0]).dtype == np.float64 else np.float32
+    fn = (
+        lib.itn_check_bounds_rectilinear_f64
+        if dtype == np.float64
+        else lib.itn_check_bounds_rectilinear_f32
+    )
+    gs = [_c(g, dtype) for g in grids]
+    gptrs = (_VOIDP * ndims)(*(g.ctypes.data for g in gs))
+    d64 = np.asarray([g.size for g in gs], dtype=np.int64)
+    arrs, ptrs = _obs_ptrs(obs, dtype)
+    n = arrs[0].size
+    flags = np.zeros(ndims, dtype=np.uint8)
+    rc = fn(
+        gptrs, _VOIDP(d64.ctypes.data), ctypes.c_int(ndims), ptrs,
+        _DBL(float(atol)), _I64(n), _VOIDP(flags.ctypes.data),
+    )
+    if rc != 0:
+        return False
+    np.copyto(out, flags.astype(out.dtype))
+    return True

@@ -349,6 +349,13 @@ def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
     assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
         "Dimension mismatch"
     )
+    if (
+        isinstance(out, np.ndarray)
+        and native.use_native(_size(obs[0]))
+        and not any(isinstance(a, jax.Array) for a in obs)
+        and native.check_bounds_regular(dims, starts, steps, obs, atol, out)
+    ):
+        return out
     starts_j, steps_j = _prep(dtype, starts, steps)
     obs_j = _prep_list(dtype, obs)
     atol_j = jnp.asarray(atol, dtype=dtype)
@@ -369,6 +376,13 @@ def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
         "Dimension mismatch"
     )
     assert all(np.asarray(g).size > 0 for g in grids), "Dimension mismatch"
+    if (
+        isinstance(out, np.ndarray)
+        and native.use_native(_size(obs[0]))
+        and not any(isinstance(a, jax.Array) for a in obs)
+        and native.check_bounds_rectilinear(grids, obs, atol, out)
+    ):
+        return out
     grids_j = _prep_list(dtype, grids)
     obs_j = _prep_list(dtype, obs)
     atol_j = jnp.asarray(atol, dtype=dtype)
