@@ -104,6 +104,16 @@ class InterpolatorBase(BaseModel):
         call = self._native
         return bool(call) and call(obs, out)
 
+    def warmup(self, n: int) -> None:
+        """Precompile the device path for batch size n (production
+        serving: pay the one-time XLA compilation before taking traffic;
+        not part of the reference API)."""
+        import jax
+
+        dtype = jnp.float64 if self._dtype == np.float64 else jnp.float32
+        obs = tuple(jnp.zeros(n, dtype=dtype) for _ in range(self.ndims()))
+        jax.block_until_ready(self.eval_jax(obs))
+
     def eval_unchecked(self, obs, out=None):
         """Evaluate without re-validating input layout (reference
         semantics; validation already happened at model construction).

@@ -1,0 +1,103 @@
+"""Model-validation parity: the reference's exact assertion messages
+(`src/interpn/*.py` model validators) and API edge behaviors."""
+
+import numpy as np
+import pytest
+from pydantic import ValidationError
+
+import interpn_tpu as it
+
+
+def _msg(excinfo) -> str:
+    return str(excinfo.value)
+
+
+def test_ndims_ceiling_messages():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRegular.new(
+            [2] * 9, np.zeros(9), np.ones(9), np.zeros(2**9)
+        )
+    assert "Number of dimensions must be at least 1 and no more than 8" in _msg(e)
+
+    with pytest.raises(ValidationError) as e:
+        it.NearestRegular.new([2] * 7, np.zeros(7), np.ones(7), np.zeros(2**7))
+    assert "Number of dimensions must be at least 1 and no more than 6" in _msg(e)
+
+
+def test_grid_dimension_mismatch_message():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRegular.new([4, 4], np.zeros(3), np.ones(2), np.zeros(16))
+    assert "Grid dimension mismatch" in _msg(e)
+
+
+def test_vals_size_message():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRegular.new([4, 4], np.zeros(2), np.ones(2), np.zeros(15))
+    assert "Size of value array does not match grid dims" in _msg(e)
+
+
+def test_steps_positive_message():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRegular.new(
+            [4], np.zeros(1), np.array([-0.5]), np.zeros(4)
+        )
+    assert "All grid steps must be positive and nonzero" in _msg(e)
+
+
+def test_rectilinear_monotonic_message():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRectilinear.new([np.array([0.0, 2.0, 1.0])], np.zeros(3))
+    assert "All grids must be monotonically increasing" in _msg(e)
+
+
+def test_mixed_dtype_message():
+    with pytest.raises(ValidationError) as e:
+        it.MultilinearRectilinear(
+            grids=[{"data": [0.0, 1.0], "dtype": "float32"}],
+            vals={"data": [0.0, 1.0], "dtype": "float64"},
+        )
+    assert "same data type" in _msg(e)
+
+
+def test_eval_allocates_like_obs_when_out_none():
+    m = it.MultilinearRegular.new([5], np.zeros(1), np.ones(1), np.arange(5.0))
+    obs = [np.linspace(0, 4, 7)]
+    out = m.eval(obs)
+    assert isinstance(out, np.ndarray)
+    assert out.shape == obs[0].shape and out.dtype == obs[0].dtype
+    np.testing.assert_allclose(out, obs[0], atol=1e-15)
+
+
+def test_eval_unchecked_returns_out_buffer():
+    m = it.MulticubicRegular.new([4], np.zeros(1), np.ones(1), np.arange(4.0))
+    obs = [np.array([0.5, 3.5])]
+    out = np.zeros(2)
+    r = m.eval_unchecked(obs, out)
+    assert r is out
+
+
+def test_warmup_compiles_device_path():
+    m = it.MultilinearRegular.new([5], np.zeros(1), np.ones(1), np.arange(5.0))
+    m.warmup(64)  # should not raise; device path now cached
+    import jax.numpy as jnp
+
+    out = m.eval_jax((jnp.linspace(0.0, 4.0, 64),))
+    assert out.shape == (64,)
+
+
+def test_check_bounds_native_matches_device():
+    m = it.MultilinearRegular.new(
+        [5, 4], np.array([0.0, 10.0]), np.array([1.0, 2.0]), np.zeros(20)
+    )
+    obs = [np.array([-0.5, 2.0]), np.array([11.0, 12.0])]
+    flags_native = m.check_bounds(obs, 1e-9)
+    # force the device path
+    import os
+
+    os.environ["INTERPN_TPU_NATIVE"] = "0"
+    try:
+        flags_dev = m.check_bounds(obs, 1e-9)
+    finally:
+        del os.environ["INTERPN_TPU_NATIVE"]
+    assert np.array_equal(flags_native, flags_dev)
+    assert flags_native[0] and not flags_native[1]
