@@ -69,29 +69,34 @@ struct LinearRegular {
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
     for (int64_t i = 0; i < n; ++i) {
       int64_t base = 0;
-      T t[N];
+      T w[N][2];
       for (int k = 0; k < N; ++k) {
         const T x = obs[k][i];
         const T floc = std::floor((x - starts[k]) / steps[k]);
         const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
         const int64_t loc =
             (int64_t)std::min<T>(std::max<T>(floc, (T)0), (T)dimmax);
-        t[k] = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
+        const T t = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
+        w[k][0] = (T)1 - t;
+        w[k][1] = t;
         base += loc * stride[k];
       }
-      T store[1 << N];
-      for (int v = 0; v < (1 << N); ++v) {
+      // Per-axis weight product; innermost axis (stride 1) as a contiguous
+      // 2-point dot so the compiler vectorizes the loads.
+      constexpr int NOUTER = 1 << (N - 1);
+      T acc = 0;
+      for (int v = 0; v < NOUTER; ++v) {
         int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += ((v >> k) & 1) * stride[k];
-        store[v] = vals[base + off];
+        T wp = 1;
+        for (int k = 0; k < N - 1; ++k) {
+          const int d = (v >> k) & 1;
+          off += (int64_t)d * stride[k];
+          wp *= w[k][d];
+        }
+        const T* p = vals + base + off;
+        acc += wp * (p[0] * w[N - 1][0] + p[1] * w[N - 1][1]);
       }
-      int m = 1 << N;
-      for (int k = 0; k < N; ++k) {
-        m >>= 1;
-        for (int j = 0; j < m; ++j)
-          store[j] = store[2 * j] + t[k] * (store[2 * j + 1] - store[2 * j]);
-      }
-      out[i] = store[0];
+      out[i] = acc;
     }
   }
 };
@@ -115,19 +120,20 @@ struct LinearRectilinear {
         t[k] = (x - x0) / (x1 - x0);
         base += loc * stride[k];
       }
-      T store[1 << N];
-      for (int v = 0; v < (1 << N); ++v) {
+      constexpr int NOUTER = 1 << (N - 1);
+      T acc = 0;
+      for (int v = 0; v < NOUTER; ++v) {
         int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += ((v >> k) & 1) * stride[k];
-        store[v] = vals[base + off];
+        T wp = 1;
+        for (int k = 0; k < N - 1; ++k) {
+          const int d = (v >> k) & 1;
+          off += (int64_t)d * stride[k];
+          wp *= ((d == 0) ? ((T)1 - t[k]) : t[k]);
+        }
+        const T* p = vals + base + off;
+        acc += wp * (p[0] * ((T)1 - t[N - 1]) + p[1] * t[N - 1]);
       }
-      int m = 1 << N;
-      for (int k = 0; k < N; ++k) {
-        m >>= 1;
-        for (int j = 0; j < m; ++j)
-          store[j] = store[2 * j] + t[k] * (store[2 * j + 1] - store[2 * j]);
-      }
-      out[i] = store[0];
+      out[i] = acc;
     }
   }
 };
@@ -223,20 +229,29 @@ struct CubicRegular {
         t[k] = (x - (starts[k] + steps[k] * (T)(loc + 1))) / steps[k];
         base += loc * stride[k];
       }
-      T store[NV];
-      for (int v = 0; v < NV; ++v) {
+      // Per-axis basis weights (the node function is linear in the four
+      // stencil values; evaluate it on the unit bases once per axis).
+      T w[N][4];
+      for (int k = 0; k < N; ++k)
+        for (int b = 0; b < 4; ++b)
+          w[k][b] = cubic_node<T>(b == 0 ? (T)1 : (T)0, b == 1 ? (T)1 : (T)0,
+                                  b == 2 ? (T)1 : (T)0, b == 3 ? (T)1 : (T)0,
+                                  t[k], sat[k], linearize);
+      constexpr int NOUTER = NV / 4;
+      T acc = 0;
+      for (int v = 0; v < NOUTER; ++v) {
         int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += ((v >> (2 * k)) & 3) * stride[k];
-        store[v] = vals[base + off];
+        T wp = 1;
+        for (int k = 0; k < N - 1; ++k) {
+          const int d = (v >> (2 * k)) & 3;
+          off += (int64_t)d * stride[k];
+          wp *= w[k][d];
+        }
+        const T* p = vals + base + off;
+        acc += wp * (p[0] * w[N - 1][0] + p[1] * w[N - 1][1] +
+                     p[2] * w[N - 1][2] + p[3] * w[N - 1][3]);
       }
-      int m = NV;
-      for (int k = 0; k < N; ++k) {
-        m >>= 2;
-        for (int j = 0; j < m; ++j)
-          store[j] = cubic_node(store[4 * j], store[4 * j + 1], store[4 * j + 2],
-                                store[4 * j + 3], t[k], sat[k], linearize);
-      }
-      out[i] = store[0];
+      out[i] = acc;
     }
   }
 };
@@ -267,22 +282,30 @@ struct CubicRectilinear {
         locs[k] = loc;
         base += loc * stride[k];
       }
-      T store[NV];
-      for (int v = 0; v < NV; ++v) {
-        int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += ((v >> (2 * k)) & 3) * stride[k];
-        store[v] = vals[base + off];
-      }
-      int m = NV;
+      T w[N][4];
       for (int k = 0; k < N; ++k) {
-        m >>= 2;
         const T* gc = grids[k] + locs[k];
-        for (int j = 0; j < m; ++j)
-          store[j] = cubic_node_rect(store[4 * j], store[4 * j + 1],
-                                     store[4 * j + 2], store[4 * j + 3], gc,
-                                     obs[k][i], sat[k], linearize);
+        for (int b = 0; b < 4; ++b)
+          w[k][b] = cubic_node_rect<T>(
+              b == 0 ? (T)1 : (T)0, b == 1 ? (T)1 : (T)0,
+              b == 2 ? (T)1 : (T)0, b == 3 ? (T)1 : (T)0, gc, obs[k][i],
+              sat[k], linearize);
       }
-      out[i] = store[0];
+      constexpr int NOUTER = NV / 4;
+      T acc = 0;
+      for (int v = 0; v < NOUTER; ++v) {
+        int64_t off = 0;
+        T wp = 1;
+        for (int k = 0; k < N - 1; ++k) {
+          const int d = (v >> (2 * k)) & 3;
+          off += (int64_t)d * stride[k];
+          wp *= w[k][d];
+        }
+        const T* p = vals + base + off;
+        acc += wp * (p[0] * w[N - 1][0] + p[1] * w[N - 1][1] +
+                     p[2] * w[N - 1][2] + p[3] * w[N - 1][3]);
+      }
+      out[i] = acc;
     }
   }
 };
