@@ -22,6 +22,21 @@ def _setup() -> None:
     if os.environ.get("INTERPN_TPU_NO_X64", "0") not in ("1", "true", "True"):
         jax.config.update("jax_enable_x64", True)
 
+    # Persistent XLA compilation cache: first-compile of the large-batch TPU
+    # executables can take tens of seconds; caching makes every subsequent
+    # process start instant. (The TPU-native replacement for the reference's
+    # PGO pipeline: instead of profile-guided re-compilation, ahead-of-time
+    # compiled executables are cached and reused — see scripts/warm_cache.py.)
+    cache_dir = os.environ.get(
+        "INTERPN_TPU_CACHE_DIR", os.path.expanduser("~/.cache/interpn_tpu_xla")
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
 
 _setup()
 

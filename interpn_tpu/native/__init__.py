@@ -4,11 +4,12 @@ The shared library is built on first use with g++ (no pybind11 in this image;
 the extern-C + ctypes route keeps the binding layer dependency-free). The
 build is cached next to the source and keyed on the source hash.
 
-`NATIVE_THRESHOLD` is the dispatch crossover: the raw API routes query batches
-smaller than this to the native path (host memory, nanoseconds per point; the
-latency regime where the reference's headline "1 obs" numbers live) and larger
-batches to the TPU path (bandwidth regime). Set env INTERPN_TPU_NATIVE=0 to
-disable, or =always to force native for all sizes.
+Dispatch policy: by default ALL host-resident (numpy) batches route here —
+measured end-to-end, the native kernels beat the full host->device->host
+round trip at every size on this system, and device-resident callers use the
+JAX API directly. INTERPN_TPU_NATIVE=0 disables the native path entirely;
+INTERPN_TPU_NATIVE_THRESHOLD=<n> restores a size crossover to the device
+path for deployments with fast host<->device links.
 
 Call-overhead design: all pointer arguments are passed as raw integers
 (`ndarray.ctypes.data`) into `c_void_p` slots — bypassing the expensive
