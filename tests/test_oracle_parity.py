@@ -6,11 +6,8 @@ import numpy as np
 import pytest
 
 import interpn_tpu as it
-from interpn_tpu.utils import meshgrid
 
 from . import oracle
-
-RNG = np.random.default_rng(20260816)
 
 
 def _random_case(ndims, min_pts, rng):
