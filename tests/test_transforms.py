@@ -1,0 +1,106 @@
+"""Functional-transform capabilities beyond the reference: every kernel is a
+pure JAX function, so jax.grad / jax.vmap / jax.jit compose with it. These
+tests pin that contract (gradients w.r.t. both query positions and grid
+values, and batched evaluation over stacked value grids)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import interpn_tpu  # noqa: F401
+from interpn_tpu import ops
+
+
+def _grid2(f):
+    x = np.linspace(0.0, 4.0, 5)
+    y = np.linspace(0.0, 4.0, 5)
+    xg, yg = np.meshgrid(x, y, indexing="ij")
+    return jnp.asarray(f(xg, yg).ravel())
+
+
+def test_grad_wrt_query_linear():
+    """d/dx of the multilinear interpolant of 3x - 2y is (3, -2) everywhere
+    off the cell boundaries (including extrapolation regions)."""
+    vals = _grid2(lambda x, y: 3.0 * x - 2.0 * y)
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+
+    def f(px, py):
+        return ops.linear_regular((5, 5), starts, steps, vals, (px[None], py[None]))[0]
+
+    g = jax.grad(f, argnums=(0, 1))
+    for px, py in [(0.3, 1.7), (2.5, 3.1), (-1.2, 5.4)]:
+        gx, gy = g(jnp.asarray(px), jnp.asarray(py))
+        np.testing.assert_allclose([float(gx), float(gy)], [3.0, -2.0], atol=1e-12)
+
+
+def test_grad_wrt_query_cubic_quadratic():
+    """d/dx of the cubic interpolant of x^2 + y^2 is (2x, 2y) — the quadratic
+    reproduction property extends to first derivatives."""
+    vals = _grid2(lambda x, y: x**2 + y**2)
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+
+    def f(px, py):
+        return ops.cubic_regular(
+            (5, 5), starts, steps, vals, (px[None], py[None]), False
+        )[0]
+
+    g = jax.grad(f, argnums=(0, 1))
+    for px, py in [(0.4, 1.6), (2.3, 3.3), (-0.7, 4.9)]:
+        gx, gy = g(jnp.asarray(px), jnp.asarray(py))
+        np.testing.assert_allclose(
+            [float(gx), float(gy)], [2 * px, 2 * py], atol=1e-9
+        )
+
+
+def test_grad_wrt_vals_is_corner_weights():
+    """The interpolant is linear in the grid values; its gradient w.r.t. vals
+    is the stencil weight vector, which sums to 1 for interior points."""
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+    obs = (jnp.asarray([1.3]), jnp.asarray([2.6]))
+
+    def f(vals):
+        return ops.linear_regular((5, 5), starts, steps, vals, obs)[0]
+
+    w = jax.grad(f)(jnp.zeros(25))
+    assert float(jnp.sum(w)) == pytest.approx(1.0, abs=1e-12)
+    assert int(jnp.sum(w != 0)) == 4  # 2^2 stencil
+
+
+def test_vmap_over_value_grids():
+    """Batched evaluation over stacked value grids (multi-channel fields) —
+    one vmap, no loops."""
+    rng = np.random.default_rng(0)
+    channels = jnp.asarray(rng.standard_normal((7, 125)))  # 7 channels on 5^3
+    starts = jnp.zeros(3)
+    steps = jnp.ones(3)
+    obs = tuple(jnp.asarray(rng.uniform(-1, 5, 50)) for _ in range(3))
+
+    batched = jax.vmap(
+        lambda v: ops.cubic_regular((5, 5, 5), starts, steps, v, obs, True)
+    )
+    out = batched(channels)
+    assert out.shape == (7, 50)
+    single = ops.cubic_regular((5, 5, 5), starts, steps, channels[3], obs, True)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(single), atol=1e-12)
+
+
+def test_jit_grad_composition():
+    vals = _grid2(lambda x, y: jnp.sin(x) * jnp.cos(y))
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+
+    @jax.jit
+    def value_and_grad(px, py):
+        def f(px, py):
+            return ops.cubic_regular(
+                (5, 5), starts, steps, vals, (px[None], py[None]), True
+            )[0]
+
+        return jax.value_and_grad(f, argnums=(0, 1))(px, py)
+
+    v, (gx, gy) = value_and_grad(jnp.asarray(1.5), jnp.asarray(2.5))
+    assert np.isfinite(float(v)) and np.isfinite(float(gx)) and np.isfinite(float(gy))
