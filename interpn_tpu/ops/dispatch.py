@@ -28,7 +28,8 @@ from .cubic import cubic_rectilinear as _cubic_rect_gather
 from .cubic import cubic_regular as _cubic_reg_gather
 from .linear import linear_rectilinear as _linear_rect_gather
 from .linear import linear_regular as _linear_reg_gather
-from .nearest import nearest_rectilinear, nearest_regular  # noqa: F401  (gather only)
+from .nearest import nearest_rectilinear as _nearest_rect_gather
+from .nearest import nearest_regular as _nearest_reg_gather
 
 # Factorized pays 2*n*prod(dims) FLOPs; past this grid size the gather path
 # wins even on TPU.
@@ -49,6 +50,19 @@ def _impl(dtype, nvals: int, n: int) -> str:
     ):
         return "factorized"
     return "gather"
+
+
+def nearest_regular(dims, starts, steps, vals, obs):
+    if _impl(vals.dtype, math.prod(dims), obs[0].size) == "factorized":
+        return _fz.nearest_regular_factorized(dims, starts, steps, vals, obs)
+    return _nearest_reg_gather(dims, starts, steps, vals, obs)
+
+
+def nearest_rectilinear(grids, vals, obs):
+    nvals = math.prod(int(g.shape[0]) for g in grids)
+    if _impl(vals.dtype, nvals, obs[0].size) == "factorized":
+        return _fz.nearest_rectilinear_factorized(grids, vals, obs)
+    return _nearest_rect_gather(grids, vals, obs)
 
 
 def linear_regular(dims, starts, steps, vals, obs):

@@ -19,6 +19,11 @@ path wins for small/medium grids (the reference's benchmark regime — 4..20
 points per axis) and the gather path remains for huge grids and for exact
 f64 tree-order parity.
 
+Caveat: contraction-based evaluation multiplies every grid value by its
+weight (zero off-stencil); non-finite values anywhere in the grid therefore
+poison the result (0 * inf = nan), unlike the gather path which touches only
+the stencil. Grids with inf/nan sentinels should force INTERPN_TPU_IMPL=gather.
+
 Weight extraction is exact-by-construction: the cubic per-axis weights are
 obtained by evaluating the same saturation-aware node function used by the
 gather path on the four unit basis vectors (linearity of the Hermite
@@ -146,6 +151,40 @@ def linear_rectilinear_factorized(grids, vals, obs):
             loc, x0, x1 = locate_rectilinear_linear(ob[k], grids[k])
             t = (ob[k] - x0) / (x1 - x0)
             mats.append(_scatter_weights(loc, [1.0 - t, t], dims[k]))
+        return _contract(mats, vals, dims)
+
+    rest = math.prod(dims[1:])
+    return _chunk_queries(run, obs, rest, vals.dtype.itemsize)
+
+
+def nearest_regular_factorized(dims, starts, steps, vals, obs):
+    """Nearest-neighbor as a one-hot contraction (the weight vector has a
+    single 1 at the selected index per axis)."""
+
+    def run(ob):
+        mats = []
+        for k in range(len(dims)):
+            loc, dt = locate_regular_linear(ob[k], starts[k], steps[k], dims[k])
+            sel = loc + jnp.where(dt <= 0.5, 0, 1).astype(loc.dtype)
+            one = jnp.ones_like(dt)
+            mats.append(_scatter_weights(sel, [one], dims[k]))
+        return _contract(mats, vals, dims)
+
+    rest = math.prod(dims[1:])
+    return _chunk_queries(run, obs, rest, vals.dtype.itemsize)
+
+
+def nearest_rectilinear_factorized(grids, vals, obs):
+    dims = tuple(int(g.shape[0]) for g in grids)
+
+    def run(ob):
+        mats = []
+        for k in range(len(dims)):
+            loc, x0, x1 = locate_rectilinear_linear(ob[k], grids[k])
+            dt = (ob[k] - x0) / (x1 - x0)
+            sel = loc + jnp.where(dt <= 0.5, 0, 1).astype(loc.dtype)
+            one = jnp.ones_like(dt)
+            mats.append(_scatter_weights(sel, [one], dims[k]))
         return _contract(mats, vals, dims)
 
     rest = math.prod(dims[1:])

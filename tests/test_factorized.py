@@ -105,3 +105,22 @@ def test_dispatch_env_override(monkeypatch):
     monkeypatch.delenv("INTERPN_TPU_IMPL")
     # auto: f64 never factorized; f32 only on TPU backends
     assert dispatch._impl(jnp.float64, 8000, 10**6) == "gather"
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_nearest_factorized_matches_gather(ndims):
+    from interpn_tpu.ops import nearest as ng
+
+    dims, starts, steps, grids, vals, obs = _case(ndims, 2, 82 + ndims)
+    a = ng.nearest_regular(dims, starts, steps, vals, obs)
+    b = fz.nearest_regular_factorized(dims, starts, steps, vals, obs)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.default_rng(5)
+    obs_r = tuple(
+        jnp.asarray(rng.uniform(float(g[0]) - 2, float(g[-1]) + 2, 300))
+        for g in grids
+    )
+    a = ng.nearest_rectilinear(grids, vals, obs_r)
+    b = fz.nearest_rectilinear_factorized(grids, vals, obs_r)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
