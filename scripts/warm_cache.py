@@ -11,6 +11,10 @@ The workload sweep mirrors scripts/profile_workload.py: dtypes x dims 1-4 x
 batch sizes around the published benchmark configurations.
 
 Run: python scripts/warm_cache.py [--sizes 1024,1048576]
+
+Note: effective on standard TPU deployments where XLA compiles locally. On
+remote-compile setups (e.g. relay-tunneled dev chips) the persistent cache is
+bypassed by the compile service and this script only warms the live process.
 """
 
 from __future__ import annotations
