@@ -21,16 +21,24 @@ from typing import Literal, Sequence
 import numpy as np
 from numpy.typing import NDArray
 
+from importlib.util import find_spec as _find_spec
+
 from . import config as _config  # noqa: F401  (enables x64 before any jax use)
 from . import raw
-from .models import (
-    MulticubicRectilinear,
-    MulticubicRegular,
-    MultilinearRectilinear,
-    MultilinearRegular,
-    NearestRectilinear,
-    NearestRegular,
-)
+
+# The persistent model classes need pydantic; like the reference
+# (`src/interpn/__init__.py:19-27`), the functional API works without it.
+_PYDANTIC_FOUND = _find_spec("pydantic") is not None
+
+if _PYDANTIC_FOUND:
+    from .models import (
+        MulticubicRectilinear,
+        MulticubicRegular,
+        MultilinearRectilinear,
+        MultilinearRegular,
+        NearestRectilinear,
+        NearestRegular,
+    )
 
 __version__ = "0.1.0"
 
@@ -38,13 +46,17 @@ __all__ = [
     "__version__",
     "raw",
     "interpn",
-    "MultilinearRegular",
-    "MultilinearRectilinear",
-    "MulticubicRegular",
-    "MulticubicRectilinear",
-    "NearestRegular",
-    "NearestRectilinear",
 ]
+
+if _PYDANTIC_FOUND:
+    __all__ += [
+        "MultilinearRegular",
+        "MultilinearRectilinear",
+        "MulticubicRegular",
+        "MulticubicRectilinear",
+        "NearestRegular",
+        "NearestRectilinear",
+    ]
 
 
 def interpn(
