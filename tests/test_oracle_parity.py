@@ -139,3 +139,17 @@ def test_nearest_on_grid_points_and_midpoints():
     )
     exp = np.array([oracle.nearest_regular([5], [0.0], [1.0], vals, [p]) for p in pts])
     assert np.array_equal(out, exp)
+
+
+def test_nearest_tiebreak_f32():
+    """The dt <= 0.5 midpoint rule must survive f32 rounding (SURVEY.md
+    'hard parts'): exact midpoints representable in f32 pick the lower
+    index through the f32 raw path."""
+    g = np.linspace(0.0, 4.0, 5).astype(np.float32)
+    vals = (np.arange(5.0) * 10 + 1).astype(np.float32)
+    pts = np.array([0.5, 1.5, 2.5, 3.5], dtype=np.float32)
+    out = np.zeros_like(pts)
+    it.raw.interpn_nearest_regular_f32(
+        [5], np.zeros(1, np.float32), np.ones(1, np.float32), vals, [pts], out
+    )
+    np.testing.assert_array_equal(out, vals[[0, 1, 2, 3]])
