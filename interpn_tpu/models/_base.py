@@ -104,6 +104,29 @@ class InterpolatorBase(BaseModel):
         call = self._native
         return bool(call) and call(obs, out)
 
+    def gradient_jax(self, obs):
+        """Partial derivatives of the interpolant at each observation point
+        (TPU-native extension; the reference has no derivative API).
+
+        Returns a tuple of ndims device arrays, each shaped like obs[0]:
+        d(interpolant)/d(x_k). Computed with one forward-mode JVP per
+        dimension against the jit-compiled device kernel, so it works for
+        every method/grid kind and under extrapolation (piecewise-polynomial
+        derivatives; not defined exactly at cell boundaries)."""
+        obs_j = self._obs_to_device(obs)
+        dev = self._dev_cache()
+        grads = []
+        for k in range(self.ndims()):
+            tangents = tuple(
+                jnp.ones_like(x) if j == k else jnp.zeros_like(x)
+                for j, x in enumerate(obs_j)
+            )
+            _, dy = jax.jvp(
+                lambda *o: self._eval_device(dev, tuple(o)), obs_j, tangents
+            )
+            grads.append(dy)
+        return tuple(grads)
+
     def warmup(self, n: int) -> None:
         """Precompile the device path for batch size n (production
         serving: pay the one-time XLA compilation before taking traffic;

@@ -12,8 +12,13 @@ axis is the number of query points. Design:
   interconnect.
 
 `sharded_evaluator` builds a jit-compiled function with those shardings baked
-in; it works on real TPU meshes and on virtual CPU meshes
-(``XLA_FLAGS=--xla_force_host_platform_device_count=N``) alike.
+in; it works on real TPU meshes and on virtual CPU meshes alike.
+
+Note: the f32 factorized implementation chunks very large query batches with
+an internal lax.map whose reshape can force resharding; when driving >10^7
+points per chip through the sharded evaluator, prefer sharding first so the
+per-device batch stays under the chunk size (the 1e8 sweep in
+benches/bench_1e8.py follows this pattern).
 """
 
 from __future__ import annotations

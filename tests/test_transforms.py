@@ -104,3 +104,22 @@ def test_jit_grad_composition():
 
     v, (gx, gy) = value_and_grad(jnp.asarray(1.5), jnp.asarray(2.5))
     assert np.isfinite(float(v)) and np.isfinite(float(gx)) and np.isfinite(float(gy))
+
+
+def test_model_gradient_api():
+    """gradient_jax returns per-dimension partial derivatives."""
+    import interpn_tpu as it
+
+    x = np.linspace(0.0, 4.0, 5)
+    xg, yg = np.meshgrid(x, x, indexing="ij")
+    m = it.MulticubicRegular.new(
+        [5, 5],
+        np.zeros(2),
+        np.ones(2),
+        (xg**2 + 3.0 * yg).ravel(),
+        linearize_extrapolation=False,
+    )
+    obs = [np.array([1.3, 2.6, 4.9]), np.array([0.4, 3.3, -0.8])]
+    gx, gy = m.gradient_jax(obs)
+    np.testing.assert_allclose(np.asarray(gx), 2 * obs[0], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gy), [3.0, 3.0, 3.0], atol=1e-9)
