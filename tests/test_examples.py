@@ -17,8 +17,13 @@ def test_example_runs(script, tmp_path):
     spec = importlib.util.spec_from_file_location(script.stem, script)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # Redirect the docs/ output dir so tests don't overwrite committed
-    # artifacts, then run the example's entry point.
-    mod.DOCS = tmp_path / "docs"
+    if hasattr(mod, "BATCH"):
+        mod.BATCH = 4096  # keep the serving example quick under test
+    writes_figures = hasattr(mod, "DOCS")
+    if writes_figures:
+        # Redirect the docs/ output dir so tests don't overwrite committed
+        # artifacts.
+        mod.DOCS = tmp_path / "docs"
     mod.main()
-    assert any(mod.DOCS.glob("*.svg"))
+    if writes_figures:
+        assert any(mod.DOCS.glob("*.svg"))

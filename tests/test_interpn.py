@@ -75,3 +75,18 @@ def test_interpn_regularity_autodetect_dispatch():
     vals = 2.0 * grid
     res = interpn(obs=[np.array([2.5])], grids=[grid], vals=vals)
     np.testing.assert_allclose(res, [5.0], atol=1e-7)
+
+
+def test_empty_observation_batch():
+    """Zero observation points is a valid (if silly) call on every path."""
+    grid = np.linspace(0.0, 1.0, 5)
+    vals = grid.copy()
+    empty = [np.array([], dtype=np.float64)]
+    out = interpn(obs=empty, grids=[grid], vals=vals)
+    assert out.shape == (0,)
+
+    import interpn_tpu as it
+
+    m = it.MultilinearRegular.new([5], np.zeros(1), np.full(1, 0.25), vals)
+    r = m.eval(empty)
+    assert r.shape == (0,)
