@@ -242,7 +242,7 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
 def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
     lib = _load()
     ndims = len(dims)
-    if lib is None or ndims > 6:
+    if lib is None or ndims > 8:
         return None
     fn = lib.itn_cubic_regular_f64 if dtype == np.float64 else lib.itn_cubic_regular_f32
     d64 = np.asarray(dims, dtype=np.int64)
@@ -322,7 +322,7 @@ def prepare_nearest_rectilinear(grids, vals, dtype):
 
 def prepare_cubic_rectilinear(grids, vals, linearize, dtype):
     return _prepare_rect(
-        "itn_cubic_rectilinear_f64", "itn_cubic_rectilinear_f32", 6,
+        "itn_cubic_rectilinear_f64", "itn_cubic_rectilinear_f32", 8,
         grids, vals, dtype, extra=(_INT(1 if linearize else 0),),
     )
 

@@ -371,18 +371,11 @@ int dispatch_regular(int ndims, A... a) {
   }
 }
 
-// 4^7/4^8 stencils blow up the stack-array instantiation size; cap cubic at 6.
+// The weight-product evaluation needs only O(N) stack per point, so cubic
+// instantiates through 8D like the linear family.
 template <template <typename, int> class K, typename T, typename... A>
 int dispatch_cubic(int ndims, A... a) {
-  switch (ndims) {
-    case 1: K<T, 1>::run(a...); return 0;
-    case 2: K<T, 2>::run(a...); return 0;
-    case 3: K<T, 3>::run(a...); return 0;
-    case 4: K<T, 4>::run(a...); return 0;
-    case 5: K<T, 5>::run(a...); return 0;
-    case 6: K<T, 6>::run(a...); return 0;
-    default: return 1;
-  }
+  return dispatch_regular<K, T>(ndims, a...);
 }
 
 }  // namespace

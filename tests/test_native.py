@@ -100,18 +100,28 @@ def test_native_disabled_env(monkeypatch):
     monkeypatch.setattr(native, "NATIVE_THRESHOLD", None)
 
 
-def test_native_high_dim_falls_back():
-    """Cubic >6D is not instantiated natively; the wrapper reports False and
-    the raw layer silently uses the device path."""
+def test_native_cubic_high_dims():
+    """Cubic 7-8D runs natively (weight-product evaluation, O(N) stack) and
+    reproduces linear data under extrapolation."""
     rng = np.random.default_rng(23)
-    dims = [4] * 7
-    vals = rng.standard_normal(4**7)
-    obs = [rng.uniform(0, 3, 3) for _ in range(7)]
-    out = np.zeros(3)
-    assert not native.cubic_regular(
-        dims, np.zeros(7), np.ones(7), vals, True, obs, out
+    for ndims in (7, 8):
+        dims = [4] * ndims
+        axes = [np.arange(4.0) for _ in range(ndims)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        vals = np.sum(np.stack(mesh), axis=0).ravel()
+        obs = [rng.uniform(-0.5, 3.5, 20) for _ in range(ndims)]
+        out = np.zeros(20)
+        assert native.cubic_regular(
+            dims, np.zeros(ndims), np.ones(ndims), vals, True, obs, out
+        )
+        expected = np.sum(np.stack(obs), axis=0)
+        np.testing.assert_allclose(out, expected, atol=1e-9)
+
+
+def test_native_unsupported_ndims_falls_back():
+    """>8D reports False so the raw layer uses the device path (the raw API
+    itself rejects >8D with the reference error first)."""
+    out = np.zeros(1)
+    assert not native.linear_regular(
+        [2] * 9, np.zeros(9), np.ones(9), np.zeros(2**9), [np.zeros(1)] * 9, out
     )
-    it.raw.interpn_cubic_regular_f64(
-        dims, np.zeros(7), np.ones(7), vals, True, obs, out
-    )
-    assert np.all(np.isfinite(out))
