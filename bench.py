@@ -35,14 +35,19 @@ R = 4
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
 
 
-def _grid(ndims, dtype):
-    import jax.numpy as jnp
-
+def _grid_host(ndims):
     x = np.linspace(0.0, 10.0, GRID_N)
     mesh = np.meshgrid(*([x] * ndims), indexing="ij")
     vals_np = np.sin(mesh[0])
     for m in mesh[1:]:
         vals_np = vals_np + m * 0.37
+    return x, vals_np
+
+
+def _grid(ndims, dtype):
+    import jax.numpy as jnp
+
+    x, vals_np = _grid_host(ndims)
     starts = jnp.zeros(ndims, dtype=dtype)
     steps = jnp.full(ndims, x[1] - x[0], dtype=dtype)
     vals = jnp.asarray(vals_np.ravel(), dtype=dtype)
@@ -112,7 +117,7 @@ def bench_native(method: str, n_obs: int, ndims: int = 3):
 
     if not native.available():
         return None
-    x, vals_np, *_ = _grid(ndims, np.float64)
+    x, vals_np = _grid_host(ndims)
     rng = np.random.default_rng(1)
     obs = [rng.uniform(-0.5, 10.5, n_obs) for _ in range(ndims)]
     out = np.zeros(n_obs)
@@ -135,7 +140,7 @@ def bench_native(method: str, n_obs: int, ndims: int = 3):
 def scipy_baseline_qps() -> float:
     from scipy.interpolate import RegularGridInterpolator
 
-    x, vals_np, *_ = _grid(3, np.float64)
+    x, vals_np = _grid_host(3)
     rgi = RegularGridInterpolator(
         (x, x, x), vals_np, method="linear", bounds_error=False, fill_value=None
     )
