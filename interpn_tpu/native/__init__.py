@@ -54,12 +54,14 @@ def _build() -> Path | None:
     out = _DIR / f"libinterpn_native_{tag}.so"
     if out.exists():
         return out
-    # -ffp-contract=off: no FMA contraction, so the native path agrees with
-    # the JAX/XLA path and the numpy oracle to the last ulp wherever the
-    # operation order matches (the reference ships FMA wheels and documents
-    # the resulting tie-break nondeterminism; we prefer cross-path agreement).
+    # -ffp-contract=fast: allow FMA contraction, matching the reference's
+    # shipped wheels (built with its `fma` feature). This is what makes the
+    # reference's own cubic tests — which assert BITWISE equality at grid
+    # points — pass against this backend (see
+    # tests/test_reference_conformance.py); the JAX paths agree to the last
+    # ulp rather than bit-for-bit.
     cmd = [
-        "g++", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off",
+        "g++", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=fast",
         "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(out),
     ]
     try:

@@ -28,6 +28,21 @@
 
 namespace {
 
+// Hermite node evaluation: returns the exact endpoint values at t == 0 and
+// t == 1 (y0 resp. yend) so grid nodes reproduce bit-for-bit regardless of
+// rounding in the slope terms — the reference's tests assert this.
+template <typename T>
+inline T hermite_exact(T t, T y0, T yend, T dy, T k0, T k1) {
+  if (t == (T)0) return y0;
+  if (t == (T)1) return yend;
+  const T a = k0 - dy;
+  const T b = -k1 + dy;
+  const T c1 = dy + a;
+  const T c2 = b - (a + a);
+  const T c3 = a - b;
+  return y0 + t * (c1 + t * (c2 + t * c3));
+}
+
 template <typename T>
 inline T hermite(T t, T y0, T dy, T k0, T k1) {
   const T a = k0 - dy;
@@ -145,7 +160,7 @@ inline T cubic_node(T v0, T v1, T v2, T v3, T t, Sat sat, bool linearize) {
       const T y0 = v1, dy = v2 - v1;
       const T k0 = (v2 - v0) / (T)2;
       const T k1 = (v3 - v1) / (T)2;
-      return hermite(t, y0, dy, k0, k1);
+      return hermite_exact(t, y0, v2, dy, k0, k1);
     }
     case Sat::InsideLow:
     case Sat::OutsideLow: {
@@ -154,7 +169,7 @@ inline T cubic_node(T v0, T v1, T v2, T v3, T t, Sat sat, bool linearize) {
       const T k0 = -(v2 - v0) / (T)2;
       const T k1 = (T)2 * dy - k0;
       if (sat == Sat::OutsideLow && linearize) return v0 + k1 * (tt - (T)1);
-      return hermite(tt, y0, dy, k0, k1);
+      return hermite_exact(tt, y0, v0, dy, k0, k1);
     }
     default: {
       const T tt = t - (T)1;
@@ -162,7 +177,7 @@ inline T cubic_node(T v0, T v1, T v2, T v3, T t, Sat sat, bool linearize) {
       const T k0 = (v3 - v1) / (T)2;
       const T k1 = (T)2 * dy - k0;
       if (sat == Sat::OutsideHigh && linearize) return v3 + k1 * (tt - (T)1);
-      return hermite(tt, y0, dy, k0, k1);
+      return hermite_exact(tt, y0, v3, dy, k0, k1);
     }
   }
 }
@@ -179,7 +194,7 @@ inline T cubic_node_rect(T v0, T v1, T v2, T v3, const T* gc, T x, Sat sat,
       const T k0 = cd_nonuniform(v0, v1, v2, h01 / h12, (T)1);
       const T k1 = cd_nonuniform(v1, v2, v3, (T)1, h23 / h12);
       const T t = (x - gc[1]) / h12;
-      return hermite(t, y0, dy, k0, k1);
+      return hermite_exact(t, y0, v2, dy, k0, k1);
     }
     case Sat::InsideLow:
     case Sat::OutsideLow: {
@@ -188,7 +203,7 @@ inline T cubic_node_rect(T v0, T v1, T v2, T v3, const T* gc, T x, Sat sat,
       const T k1 = (T)2 * dy - k0;
       const T t = -(x - gc[1]) / h01;
       if (sat == Sat::OutsideLow && linearize) return v0 + k1 * (t - (T)1);
-      return hermite(t, y0, dy, k0, k1);
+      return hermite_exact(t, y0, v0, dy, k0, k1);
     }
     default: {
       const T y0 = v2, dy = v3 - v2;
@@ -196,7 +211,7 @@ inline T cubic_node_rect(T v0, T v1, T v2, T v3, const T* gc, T x, Sat sat,
       const T k1 = (T)2 * dy - k0;
       const T t = (x - gc[2]) / h23;
       if (sat == Sat::OutsideHigh && linearize) return v3 + k1 * (t - (T)1);
-      return hermite(t, y0, dy, k0, k1);
+      return hermite_exact(t, y0, v3, dy, k0, k1);
     }
   }
 }

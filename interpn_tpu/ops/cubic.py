@@ -71,12 +71,16 @@ def _axis_reduce_regular(v, t, low, high, outside, linearize: bool):
     half13 = (v3 - v1) * 0.5
     k0 = jnp.where(low, -half02, jnp.where(high, half13, half02))
     k1 = jnp.where(low | high, 2.0 * dy - k0, half13)
-    spline = _hermite(tt, y0, dy, k0, k1)
-    if not linearize:
-        return spline
-    y_edge = jnp.where(low, v0, v3)
-    lin = y_edge + k1 * (tt - 1.0)
-    return jnp.where(outside, lin, spline)
+    res = _hermite(tt, y0, dy, k0, k1)
+    if linearize:
+        y_edge = jnp.where(low, v0, v3)
+        lin = y_edge + k1 * (tt - 1.0)
+        res = jnp.where(outside, lin, res)
+    # Exact node reproduction: at tt == 0/1 return the endpoint values
+    # bit-for-bit (matches the native backend and the reference's
+    # grid-node-equality tests).
+    endpoint = jnp.where(low, v0, jnp.where(high, v3, v2))
+    return jnp.where(tt == 0.0, y0, jnp.where(tt == 1.0, endpoint, res))
 
 
 def _axis_reduce_rectilinear(v, x, gc, low, high, outside, linearize: bool):
@@ -112,12 +116,14 @@ def _axis_reduce_rectilinear(v, x, gc, low, high, outside, linearize: bool):
         jnp.where(high, (x - g2) / h23, (x - g1) / h12),
     )
 
-    spline = _hermite(tt, y0, dy, k0, k1)
-    if not linearize:
-        return spline
-    y_edge = jnp.where(low, v0, v3)
-    lin = y_edge + k1 * (tt - 1.0)
-    return jnp.where(outside, lin, spline)
+    res = _hermite(tt, y0, dy, k0, k1)
+    if linearize:
+        y_edge = jnp.where(low, v0, v3)
+        lin = y_edge + k1 * (tt - 1.0)
+        res = jnp.where(outside, lin, res)
+    # Exact node reproduction (see the regular-grid variant above).
+    endpoint = jnp.where(low, v0, jnp.where(high, v3, v2))
+    return jnp.where(tt == 0.0, y0, jnp.where(tt == 1.0, endpoint, res))
 
 
 def cubic_regular(
