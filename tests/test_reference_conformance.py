@@ -70,8 +70,16 @@ def test_reference_file_passes(fname, alias_dir, tmp_path):
     for k, v in os.environ.items():
         env.setdefault(k, v)
     env["PYTHONPATH"] = f"{alias_dir}:{REPO}"
+    # Pin the subprocess to the CPU backend programmatically (the env var is
+    # overridden by this image's TPU plugin); the reference tests are tiny
+    # and the native CPU engine serves them anyway.
+    runner = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys, pytest;"
+        f"sys.exit(pytest.main([r'{workdir / fname}', '-q', '-p', 'no:cacheprovider']))"
+    )
     res = subprocess.run(
-        [sys.executable, "-m", "pytest", str(workdir / fname), "-q", "-p", "no:cacheprovider"],
+        [sys.executable, "-c", runner],
         capture_output=True,
         text=True,
         timeout=600,
