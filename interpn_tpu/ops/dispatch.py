@@ -38,14 +38,15 @@ MAX_FACTORIZED_GRID = 1 << 18
 MIN_FACTORIZED_QUERIES = 32_768
 
 
-def _impl(dtype, nvals: int, n: int) -> str:
+def _impl(dtype, nvals: int, obs0) -> str:
     mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
     if mode in ("gather", "factorized"):
         return mode
     if (
         dtype == jnp.float32
+        and getattr(obs0, "ndim", 1) == 1  # factorized kernels assume flat obs
         and nvals <= MAX_FACTORIZED_GRID
-        and n >= MIN_FACTORIZED_QUERIES
+        and obs0.size >= MIN_FACTORIZED_QUERIES
         and jax.default_backend() == "tpu"
     ):
         return "factorized"
@@ -53,33 +54,33 @@ def _impl(dtype, nvals: int, n: int) -> str:
 
 
 def nearest_regular(dims, starts, steps, vals, obs):
-    if _impl(vals.dtype, math.prod(dims), obs[0].size) == "factorized":
+    if _impl(vals.dtype, math.prod(dims), obs[0]) == "factorized":
         return _fz.nearest_regular_factorized(dims, starts, steps, vals, obs)
     return _nearest_reg_gather(dims, starts, steps, vals, obs)
 
 
 def nearest_rectilinear(grids, vals, obs):
     nvals = math.prod(int(g.shape[0]) for g in grids)
-    if _impl(vals.dtype, nvals, obs[0].size) == "factorized":
+    if _impl(vals.dtype, nvals, obs[0]) == "factorized":
         return _fz.nearest_rectilinear_factorized(grids, vals, obs)
     return _nearest_rect_gather(grids, vals, obs)
 
 
 def linear_regular(dims, starts, steps, vals, obs):
-    if _impl(vals.dtype, math.prod(dims), obs[0].size) == "factorized":
+    if _impl(vals.dtype, math.prod(dims), obs[0]) == "factorized":
         return _fz.linear_regular_factorized(dims, starts, steps, vals, obs)
     return _linear_reg_gather(dims, starts, steps, vals, obs)
 
 
 def linear_rectilinear(grids, vals, obs):
     nvals = math.prod(int(g.shape[0]) for g in grids)
-    if _impl(vals.dtype, nvals, obs[0].size) == "factorized":
+    if _impl(vals.dtype, nvals, obs[0]) == "factorized":
         return _fz.linear_rectilinear_factorized(grids, vals, obs)
     return _linear_rect_gather(grids, vals, obs)
 
 
 def cubic_regular(dims, starts, steps, vals, obs, linearize_extrapolation: bool):
-    if _impl(vals.dtype, math.prod(dims), obs[0].size) == "factorized":
+    if _impl(vals.dtype, math.prod(dims), obs[0]) == "factorized":
         return _fz.cubic_regular_factorized(
             dims, starts, steps, vals, obs, linearize_extrapolation
         )
@@ -88,7 +89,7 @@ def cubic_regular(dims, starts, steps, vals, obs, linearize_extrapolation: bool)
 
 def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool):
     nvals = math.prod(int(g.shape[0]) for g in grids)
-    if _impl(vals.dtype, nvals, obs[0].size) == "factorized":
+    if _impl(vals.dtype, nvals, obs[0]) == "factorized":
         return _fz.cubic_rectilinear_factorized(
             grids, vals, obs, linearize_extrapolation
         )

@@ -98,13 +98,32 @@ def test_chunked_query_loop(monkeypatch):
 
 
 def test_dispatch_env_override(monkeypatch):
+    big = jnp.zeros((10**6,))
     monkeypatch.setenv("INTERPN_TPU_IMPL", "factorized")
-    assert dispatch._impl(jnp.float64, 10**9, 1) == "factorized"
+    assert dispatch._impl(jnp.float64, 10**9, big) == "factorized"
     monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
-    assert dispatch._impl(jnp.float32, 8, 10**9) == "gather"
+    assert dispatch._impl(jnp.float32, 8, big) == "gather"
     monkeypatch.delenv("INTERPN_TPU_IMPL")
     # auto: f64 never factorized; f32 only on TPU backends
-    assert dispatch._impl(jnp.float64, 8000, 10**6) == "gather"
+    assert dispatch._impl(jnp.float64, 8000, big) == "gather"
+    # shaped (non-flat) obs never take the factorized path
+    shaped = jnp.zeros((1000, 1000), jnp.float32)
+    assert dispatch._impl(jnp.float32, 8000, shaped) == "gather"
+
+
+def test_gather_path_shape_polymorphic():
+    """The gather kernels accept arbitrarily shaped observation arrays and
+    return outputs of the same shape."""
+    rng = np.random.default_rng(1)
+    dims = (5, 5)
+    vals = jnp.asarray(rng.standard_normal(25))
+    obs = tuple(jnp.asarray(rng.uniform(-1, 6, (7, 13))) for _ in range(2))
+    out = linear.linear_regular(dims, jnp.zeros(2), jnp.ones(2), vals, obs)
+    assert out.shape == (7, 13)
+    flat = linear.linear_regular(
+        dims, jnp.zeros(2), jnp.ones(2), vals, tuple(o.ravel() for o in obs)
+    )
+    np.testing.assert_array_equal(np.asarray(out).ravel(), np.asarray(flat))
 
 
 @pytest.mark.parametrize("ndims", [1, 2, 3])

@@ -75,3 +75,50 @@ def test_frozen_and_extra_forbid():
             vals=ArrayF64(data=[0.0, 1.0]),
             extra_field=1,
         )
+
+
+def test_reference_format_all_six_classes():
+    """Hand-written reference-schema JSON for every class must deserialize,
+    evaluate, and re-serialize byte-identically."""
+    cases = [
+        (
+            it.MultilinearRegular,
+            '{"dims":[4],"starts":{"data":"[0.0]","dtype":"float64"},'
+            '"steps":{"data":"[1.0]","dtype":"float64"},'
+            '"vals":{"data":"[0.0, 1.0, 2.0, 3.0]","dtype":"float64"}}',
+        ),
+        (
+            it.MultilinearRectilinear,
+            '{"grids":[{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"}],'
+            '"vals":{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"}}',
+        ),
+        (
+            it.MulticubicRegular,
+            '{"dims":[4],"starts":{"data":"[0.0]","dtype":"float64"},'
+            '"steps":{"data":"[1.0]","dtype":"float64"},'
+            '"vals":{"data":"[0.0, 1.0, 2.0, 3.0]","dtype":"float64"},'
+            '"linearize_extrapolation":true}',
+        ),
+        (
+            it.MulticubicRectilinear,
+            '{"grids":[{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"}],'
+            '"vals":{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"},'
+            '"linearize_extrapolation":false}',
+        ),
+        (
+            it.NearestRegular,
+            '{"dims":[4],"starts":{"data":"[0.0]","dtype":"float64"},'
+            '"steps":{"data":"[1.0]","dtype":"float64"},'
+            '"vals":{"data":"[0.0, 1.0, 2.0, 3.0]","dtype":"float64"}}',
+        ),
+        (
+            it.NearestRectilinear,
+            '{"grids":[{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"}],'
+            '"vals":{"data":"[0.0, 1.0, 2.5, 4.0]","dtype":"float64"}}',
+        ),
+    ]
+    for cls, s in cases:
+        m = cls.model_validate_json(s)
+        assert m.model_dump_json() == s, cls.__name__
+        out = m.eval([np.array([1.0])])
+        assert np.isfinite(out).all(), cls.__name__
