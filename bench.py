@@ -31,7 +31,7 @@ import numpy as np
 
 GRID_N = 20
 N_OBS = 1_000_000
-R = 4
+R = 16
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
 
 
