@@ -104,3 +104,27 @@ def test_pad_to_multiple():
     assert np.all(padded[10:] == x[-1])
     same, n2 = parallel.pad_to_multiple(np.arange(16.0), 8)
     assert same.shape[0] == 16 and n2 == 16
+
+
+def test_factorized_sharded_no_collectives(mesh, monkeypatch):
+    """The factorized implementation must also compile collective-free when
+    queries are sharded (it is the default f32 TPU path)."""
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "factorized")
+    x, vals = _grid3()
+    rng = np.random.default_rng(11)
+    obs = tuple(rng.uniform(0, 10, 4096) for _ in range(3))
+    starts = np.zeros(3)
+    steps = np.full(3, x[1] - x[0])
+
+    f = parallel.sharded_evaluator(mesh, method="cubic", regular=True)
+    obs_sh = parallel.shard_obs(obs, mesh)
+    out = f((starts, steps), vals, obs_sh, dims=(8, 8, 8))
+    assert out.sharding.spec == jax.sharding.PartitionSpec("obs")
+    hlo = f.lower((starts, steps), vals, obs_sh, dims=(8, 8, 8)).compile().as_text()
+    assert not any(op in hlo for op in COLLECTIVES)
+
+    # and it matches the gather implementation
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
+    g = parallel.sharded_evaluator(mesh, method="cubic", regular=True)
+    out_g = g((starts, steps), vals, obs_sh, dims=(8, 8, 8))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_g), rtol=1e-12, atol=1e-12)
