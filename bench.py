@@ -192,6 +192,10 @@ def main():
     baseline = scipy_qps * SCIPY_SPEEDUP_3D_LINEAR
 
     if full:
+        # Shorter scans for the survey table keep --full under the relay's
+        # patience; the headline above used the full R.
+        global R
+        R = 4
         err = sys.stderr
         for method in ("linear", "cubic", "nearest"):
             for dt in ("f32", "f64"):
