@@ -143,3 +143,19 @@ def test_nearest_factorized_matches_gather(ndims):
     a = ng.nearest_rectilinear(grids, vals, obs_r)
     b = fz.nearest_rectilinear_factorized(grids, vals, obs_r)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_high_dim_factorized_matches_gather():
+    """5D cubic: factorized (vectorized weight chain) vs gather (vectorized
+    vertex-axis tail)."""
+    rng = np.random.default_rng(9)
+    dims = (4, 4, 4, 4, 4)
+    starts = jnp.asarray(rng.uniform(-1, 1, 5))
+    steps = jnp.asarray(rng.uniform(0.5, 1.5, 5))
+    vals = jnp.asarray(rng.standard_normal(4**5))
+    obs = tuple(
+        jnp.asarray(rng.uniform(-1, 7, 50)) for _ in range(5)
+    )
+    a = cubic.cubic_regular(dims, starts, steps, vals, obs, True)
+    b = fz.cubic_regular_factorized(dims, starts, steps, vals, obs, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-11)
