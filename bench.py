@@ -147,9 +147,12 @@ def scipy_baseline_qps() -> float:
     rng = np.random.default_rng(2)
     pts = rng.uniform(-0.5, 10.5, (N_OBS, 3))
     rgi(pts[:1000])  # warm
-    t0 = time.perf_counter()
-    rgi(pts)
-    return N_OBS / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):  # best-of-3: host timing is contention-noisy
+        t0 = time.perf_counter()
+        rgi(pts)
+        best = min(best, time.perf_counter() - t0)
+    return N_OBS / best
 
 
 DEVICE_TIMEOUT_S = int(os.environ.get("INTERPN_TPU_BENCH_TIMEOUT", "420"))
