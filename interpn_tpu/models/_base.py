@@ -181,7 +181,10 @@ class RegularGridMixin:
         starts = jnp.asarray(self.starts.data)
         steps = jnp.asarray(self.steps.data)
         vals = jnp.asarray(self.vals.data)
-        return (dims, starts, steps, vals)
+        # One-time host-side finiteness check: inf/NaN sentinels in the grid
+        # disable the factorized MXU path (see ops.dispatch._vals_finite).
+        finite = bool(np.isfinite(self.vals.data).all())
+        return (dims, starts, steps, vals, finite)
 
     def check_bounds(self, obs, atol):
         """Per-dimension bounds-violation flags
@@ -215,7 +218,9 @@ class RectilinearGridMixin:
     def _device_constants(self):
         grids = tuple(jnp.asarray(g.data) for g in self.grids)
         vals = jnp.asarray(self.vals.data)
-        return (grids, vals)
+        # See RegularGridMixin._device_constants.
+        finite = bool(np.isfinite(self.vals.data).all())
+        return (grids, vals, finite)
 
     def dims(self) -> list[int]:
         return [x.data.size for x in self.grids]

@@ -80,9 +80,9 @@ class MulticubicRectilinear(RectilinearGridMixin, InterpolatorBase):
         return len(self.grids)
 
     def _eval_device(self, dev, obs_j):
-        grids, vals = dev
+        grids, vals, finite = dev
         return raw._cubic_rectilinear(
-            grids, vals, obs_j, bool(self.linearize_extrapolation)
+            grids, vals, obs_j, bool(self.linearize_extrapolation), finite
         )
 
     def _prepare_native(self):

@@ -91,9 +91,10 @@ class MulticubicRegular(RegularGridMixin, InterpolatorBase):
         return len(self.dims)
 
     def _eval_device(self, dev, obs_j):
-        dims, starts, steps, vals = dev
+        dims, starts, steps, vals, finite = dev
         return raw._cubic_regular(
-            dims, starts, steps, vals, obs_j, bool(self.linearize_extrapolation)
+            dims, starts, steps, vals, obs_j, bool(self.linearize_extrapolation),
+            finite,
         )
 
     def _prepare_native(self):

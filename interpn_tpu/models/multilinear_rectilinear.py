@@ -67,8 +67,8 @@ class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
         return len(self.grids)
 
     def _eval_device(self, dev, obs_j):
-        grids, vals = dev
-        return raw._linear_rectilinear(grids, vals, obs_j)
+        grids, vals, finite = dev
+        return raw._linear_rectilinear(grids, vals, obs_j, finite)
 
     def _prepare_native(self):
         from .. import native

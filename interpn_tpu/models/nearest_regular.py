@@ -71,8 +71,8 @@ class NearestRegular(RegularGridMixin, InterpolatorBase):
         return len(self.dims)
 
     def _eval_device(self, dev, obs_j):
-        dims, starts, steps, vals = dev
-        return raw._nearest_regular(dims, starts, steps, vals, obs_j)
+        dims, starts, steps, vals, finite = dev
+        return raw._nearest_regular(dims, starts, steps, vals, obs_j, finite)
 
     def _prepare_native(self):
         from .. import native

@@ -195,6 +195,8 @@ def prepare_linear_regular(dims, starts, steps, vals, dtype):
     keep = (d64, st, sp, v)
 
     def call(obs, out) -> bool:
+        if out.dtype != dtype:
+            return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
@@ -224,6 +226,8 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
     keep = (d64, st, sp, v)
 
     def call(obs, out) -> bool:
+        if out.dtype != dtype:
+            return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
@@ -257,6 +261,8 @@ def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
     keep = (d64, st, sp, v)
 
     def call(obs, out) -> bool:
+        if out.dtype != dtype:
+            return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
@@ -289,6 +295,8 @@ def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()
     keep = (gs, gptrs, d64, v)
 
     def call(obs, out) -> bool:
+        if out.dtype != dtype:
+            return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
@@ -370,13 +378,17 @@ def cubic_rectilinear(grids, vals, linearize, obs, out) -> bool:
     return call is not None and call(obs, out)
 
 
-def check_bounds_regular(dims, starts, steps, obs, atol, out) -> bool:
-    """Per-dimension bounds flags on the host (out: uint8/bool array)."""
+def check_bounds_regular(dims, starts, steps, obs, atol, out, dtype) -> bool:
+    """Per-dimension bounds flags on the host (out: uint8/bool array).
+
+    `dtype` is the compute dtype of the f32/f64 entry point that was called
+    (NOT inferred from the input arrays): the reference computes the bound
+    check strictly in the bound function's dtype, so f32 entry points must
+    compare in f32 even when handed float64 inputs."""
     lib = _load()
     ndims = len(dims)
     if lib is None or ndims == 0:
         return False
-    dtype = np.float64 if np.asarray(starts).dtype == np.float64 else np.float32
     fn = (
         lib.itn_check_bounds_regular_f64
         if dtype == np.float64
@@ -398,12 +410,12 @@ def check_bounds_regular(dims, starts, steps, obs, atol, out) -> bool:
     return True
 
 
-def check_bounds_rectilinear(grids, obs, atol, out) -> bool:
+def check_bounds_rectilinear(grids, obs, atol, out, dtype) -> bool:
+    """See check_bounds_regular: `dtype` comes from the entry point called."""
     lib = _load()
     ndims = len(grids)
     if lib is None or ndims == 0:
         return False
-    dtype = np.float64 if np.asarray(grids[0]).dtype == np.float64 else np.float32
     fn = (
         lib.itn_check_bounds_rectilinear_f64
         if dtype == np.float64

@@ -20,6 +20,18 @@
 
 #define MAXDIMS 8
 
+/* Float buffers only: "f" (f32) / "d" (f64). An itemsize match alone would
+ * let int64/int32 buffers through and bit-reinterpret them as floats; the
+ * ctypes slow path converts dtypes correctly, so mismatches fall back. */
+static int format_is_float(const Py_buffer *buf, int itemsize) {
+  if (buf->itemsize != itemsize) return 0;
+  if (buf->format == NULL) return 0; /* unsigned bytes per buffer protocol */
+  const char *f = buf->format;
+  if (f[0] == '@' || f[0] == '=') f++; /* native byte-order prefixes */
+  if (f[0] == '\0' || f[1] != '\0') return 0;
+  return itemsize == 8 ? f[0] == 'd' : f[0] == 'f';
+}
+
 /* Kernel signatures (matching interpn_native.cpp extern "C"). */
 typedef int (*regular_fn)(const int64_t *, int, const void *, const void *,
                           const void *, const void *const *, void *, int64_t);
@@ -89,13 +101,14 @@ static PyObject *PreparedCall_call(PreparedCall *self, PyObject *args,
 
   for (Py_ssize_t i = 0; i < nobs; i++) {
     PyObject *item = PySequence_Fast_GET_ITEM(seq, i);
-    if (PyObject_GetBuffer(item, &bufs[i], PyBUF_C_CONTIGUOUS) != 0) {
+    if (PyObject_GetBuffer(item, &bufs[i], PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) !=
+        0) {
       PyErr_Clear();
       ok = 0;
       break;
     }
     acquired++;
-    if (bufs[i].itemsize != self->itemsize) {
+    if (!format_is_float(&bufs[i], self->itemsize)) {
       ok = 0;
       break;
     }
@@ -110,13 +123,14 @@ static PyObject *PreparedCall_call(PreparedCall *self, PyObject *args,
 
   int have_out = 0;
   if (ok) {
-    if (PyObject_GetBuffer(out, &out_buf, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) !=
+    if (PyObject_GetBuffer(out, &out_buf,
+                           PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE | PyBUF_FORMAT) !=
         0) {
       PyErr_Clear();
       ok = 0;
     } else {
       have_out = 1;
-      if (out_buf.itemsize != self->itemsize ||
+      if (!format_is_float(&out_buf, self->itemsize) ||
           (int64_t)(out_buf.len / out_buf.itemsize) != n) {
         ok = 0;
       }
@@ -184,6 +198,9 @@ static PyObject *prepare(PyObject *self, PyObject *args) {
   }
   PreparedCall *pc = PyObject_New(PreparedCall, &PreparedCallType);
   if (pc == NULL) return NULL;
+  /* PyObject_New does not zero memory; dealloc on the early-return error
+   * paths below reads pc->keep, so it must be valid before any DECREF. */
+  pc->keep = NULL;
   pc->fn = (void *)(uintptr_t)fn_addr;
   pc->kind = kind;
   pc->ndims = ndims;

@@ -232,14 +232,19 @@ struct CubicRegular {
       for (int k = 0; k < N; ++k) {
         const T x = obs[k][i];
         const T floc = std::floor((x - starts[k]) / steps[k]);
-        const int64_t iloc = (int64_t)floc - 1;
+        // Clamp in float BEFORE the int cast (casting an unrepresentable
+        // float to int64 is UB and can wrap a hugely negative query to the
+        // high edge); saturation flags come from float comparisons, matching
+        // ops/locate.py::locate_regular_cubic.
+        const T filoc = floc - (T)1;
         const int64_t nn = dims[k];
         const int64_t dimmax = std::max<int64_t>(nn - 4, 0);
-        const int64_t loc = std::min(std::max<int64_t>(iloc, 0), dimmax);
-        if (iloc < -1) sat[k] = Sat::OutsideLow;
-        else if (iloc == -1) sat[k] = Sat::InsideLow;
-        else if (iloc > nn - 3) sat[k] = Sat::OutsideHigh;
-        else if (iloc == nn - 3) sat[k] = Sat::InsideHigh;
+        const int64_t loc =
+            (int64_t)std::min<T>(std::max<T>(filoc, (T)0), (T)dimmax);
+        if (filoc < (T)-1) sat[k] = Sat::OutsideLow;
+        else if (filoc == (T)-1) sat[k] = Sat::InsideLow;
+        else if (filoc > (T)(nn - 3)) sat[k] = Sat::OutsideHigh;
+        else if (filoc == (T)(nn - 3)) sat[k] = Sat::InsideHigh;
         else sat[k] = Sat::None;
         t[k] = (x - (starts[k] + steps[k] * (T)(loc + 1))) / steps[k];
         base += loc * stride[k];

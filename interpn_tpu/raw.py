@@ -58,34 +58,43 @@ _MAX_DIMS_MSG = (
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _linear_regular(dims, starts, steps, vals, obs):
-    return ops.linear_regular(dims, starts, steps, vals, obs)
-
-
-@jax.jit
-def _linear_rectilinear(grids, vals, obs):
-    return ops.linear_rectilinear(grids, vals, obs)
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _nearest_regular(dims, starts, steps, vals, obs):
-    return ops.nearest_regular(dims, starts, steps, vals, obs)
-
-
-@jax.jit
-def _nearest_rectilinear(grids, vals, obs):
-    return ops.nearest_rectilinear(grids, vals, obs)
+# `vals_finite` is a host-computed static flag: the factorized MXU path is
+# only safe when the grid has no inf/NaN sentinels (see ops.dispatch); values
+# can't be inspected during tracing, so the flag rides in from the shims.
 
 
 @partial(jax.jit, static_argnums=(0, 5))
-def _cubic_regular(dims, starts, steps, vals, obs, linearize):
-    return ops.cubic_regular(dims, starts, steps, vals, obs, linearize)
+def _linear_regular(dims, starts, steps, vals, obs, vals_finite=True):
+    return ops.linear_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _cubic_rectilinear(grids, vals, obs, linearize):
-    return ops.cubic_rectilinear(grids, vals, obs, linearize)
+def _linear_rectilinear(grids, vals, obs, vals_finite=True):
+    return ops.linear_rectilinear(grids, vals, obs, vals_finite=vals_finite)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _nearest_regular(dims, starts, steps, vals, obs, vals_finite=True):
+    return ops.nearest_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _nearest_rectilinear(grids, vals, obs, vals_finite=True):
+    return ops.nearest_rectilinear(grids, vals, obs, vals_finite=vals_finite)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _cubic_regular(dims, starts, steps, vals, obs, linearize, vals_finite=True):
+    return ops.cubic_regular(
+        dims, starts, steps, vals, obs, linearize, vals_finite=vals_finite
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _cubic_rectilinear(grids, vals, obs, linearize, vals_finite=True):
+    return ops.cubic_rectilinear(
+        grids, vals, obs, linearize, vals_finite=vals_finite
+    )
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -166,6 +175,24 @@ def _host_small(out, n, *data):
     )
 
 
+def _vals_finite_host(dtype, vals) -> bool:
+    """Host-side finiteness gate for the factorized auto-dispatch (see
+    ops.dispatch._vals_finite). Only configurations the factorized path
+    could be chosen for are scanned (f32, grid <= MAX_FACTORIZED_GRID, TPU
+    backend), so the check is O(<=2^18) once per call — negligible next to
+    the >=32768-query evals that path serves."""
+    if (
+        dtype != jnp.float32
+        or _size(vals) > ops.dispatch.MAX_FACTORIZED_GRID
+        or jax.default_backend() != "tpu"
+    ):
+        return True  # flag is unused: factorized is off for this config
+    try:
+        return bool(np.isfinite(np.asarray(vals)).all())
+    except TypeError:
+        return True
+
+
 def _prep(dtype, *arrays):
     return tuple(_to_dev(a, dtype) for a in arrays)
 
@@ -191,9 +218,10 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
         dims, starts, steps, vals, obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_linear_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
+    return _finish(_linear_regular(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
 
 
 def interpn_linear_regular_f64(dims, starts, steps, vals, obs, out):
@@ -215,10 +243,11 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
         grids, vals, obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_linear_rectilinear(grids_j, vals_j, obs_j), out)
+    return _finish(_linear_rectilinear(grids_j, vals_j, obs_j, vf), out)
 
 
 def interpn_linear_rectilinear_f64(grids, vals, obs, out):
@@ -241,9 +270,10 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
         dims, starts, steps, vals, obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_nearest_regular(dims, starts_j, steps_j, vals_j, obs_j), out)
+    return _finish(_nearest_regular(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
 
 
 def interpn_nearest_regular_f64(dims, starts, steps, vals, obs, out):
@@ -265,10 +295,11 @@ def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
         grids, vals, obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_nearest_rectilinear(grids_j, vals_j, obs_j), out)
+    return _finish(_nearest_rectilinear(grids_j, vals_j, obs_j, vf), out)
 
 
 def interpn_nearest_rectilinear_f64(grids, vals, obs, out):
@@ -293,10 +324,11 @@ def _interpn_cubic_regular(
         dims, starts, steps, vals, bool(linearize_extrapolation), obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
     result = _cubic_regular(
-        dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation)
+        dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )
     return _finish(result, out)
 
@@ -324,10 +356,13 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
         grids, vals, bool(linearize_extrapolation), obs, out
     ):
         return out
+    vf = _vals_finite_host(dtype, vals)
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    result = _cubic_rectilinear(grids_j, vals_j, obs_j, bool(linearize_extrapolation))
+    result = _cubic_rectilinear(
+        grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
+    )
     return _finish(result, out)
 
 
@@ -353,7 +388,10 @@ def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
         isinstance(out, np.ndarray)
         and native.use_native(_size(obs[0]))
         and not any(isinstance(a, jax.Array) for a in obs)
-        and native.check_bounds_regular(dims, starts, steps, obs, atol, out)
+        and native.check_bounds_regular(
+            dims, starts, steps, obs, atol, out,
+            np.float64 if dtype == jnp.float64 else np.float32,
+        )
     ):
         return out
     starts_j, steps_j = _prep(dtype, starts, steps)
@@ -380,7 +418,10 @@ def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
         isinstance(out, np.ndarray)
         and native.use_native(_size(obs[0]))
         and not any(isinstance(a, jax.Array) for a in obs)
-        and native.check_bounds_rectilinear(grids, obs, atol, out)
+        and native.check_bounds_rectilinear(
+            grids, obs, atol, out,
+            np.float64 if dtype == jnp.float64 else np.float32,
+        )
     ):
         return out
     grids_j = _prep_list(dtype, grids)

@@ -100,15 +100,18 @@ def test_chunked_query_loop(monkeypatch):
 def test_dispatch_env_override(monkeypatch):
     big = jnp.zeros((10**6,))
     monkeypatch.setenv("INTERPN_TPU_IMPL", "factorized")
-    assert dispatch._impl(jnp.float64, 10**9, big) == "factorized"
+    assert dispatch._impl(jnp.float64, 10**9, big, True) == "factorized"
     monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
-    assert dispatch._impl(jnp.float32, 8, big) == "gather"
+    assert dispatch._impl(jnp.float32, 8, big, True) == "gather"
     monkeypatch.delenv("INTERPN_TPU_IMPL")
     # auto: f64 never factorized; f32 only on TPU backends
-    assert dispatch._impl(jnp.float64, 8000, big) == "gather"
+    assert dispatch._impl(jnp.float64, 8000, big, True) == "gather"
     # shaped (non-flat) obs never take the factorized path
     shaped = jnp.zeros((1000, 1000), jnp.float32)
-    assert dispatch._impl(jnp.float32, 8000, shaped) == "gather"
+    assert dispatch._impl(jnp.float32, 8000, shaped, True) == "gather"
+    # non-finite grid values always force the gather path (sentinel safety)
+    flat = jnp.zeros(10**6, jnp.float32)
+    assert dispatch._impl(jnp.float32, 8000, flat, False) == "gather"
 
 
 def test_gather_path_shape_polymorphic():
@@ -159,3 +162,27 @@ def test_high_dim_factorized_matches_gather():
     a = cubic.cubic_regular(dims, starts, steps, vals, obs, True)
     b = fz.cubic_regular_factorized(dims, starts, steps, vals, obs, True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-11)
+
+
+def test_nonfinite_grid_forces_gather():
+    """Grids containing inf/NaN sentinels must never auto-select the
+    factorized path (0 * inf = nan would poison every query, not just the
+    stencils that touch the sentinel)."""
+    v = jnp.zeros(100, jnp.float32).at[3].set(jnp.inf)
+    assert not dispatch._vals_finite(v)
+    assert dispatch._vals_finite(jnp.zeros(100, jnp.float32))
+    # tracers can't be inspected -> assumed finite (callers thread the flag)
+    import jax
+
+    seen = []
+    jax.make_jaxpr(lambda x: seen.append(dispatch._vals_finite(x)) or x)(v)
+    assert seen == [True]
+    # model classes record the flag once at device-cache build
+    import interpn_tpu as it
+
+    vals = np.zeros(16)
+    vals[5] = np.nan
+    m = it.MultilinearRegular.new([4, 4], np.zeros(2), np.ones(2), vals)
+    assert m._dev_cache()[-1] is False
+    m2 = it.MultilinearRegular.new([4, 4], np.zeros(2), np.ones(2), np.ones(16))
+    assert m2._dev_cache()[-1] is True

@@ -125,3 +125,69 @@ def test_native_unsupported_ndims_falls_back():
     assert not native.linear_regular(
         [2] * 9, np.zeros(9), np.ones(9), np.zeros(2**9), [np.zeros(1)] * 9, out
     )
+
+
+def test_fastcall_rejects_wrong_dtype_buffers():
+    """Integer obs/out buffers must NOT be bit-reinterpreted as floats by the
+    fast C call layer: the PreparedCall checks the buffer format ('d'/'f'),
+    not just the itemsize, and mismatches fall through to the ctypes slow
+    path, which converts dtypes correctly."""
+    import pytest
+
+    import interpn_tpu as it
+
+    x = np.arange(4.0)
+    m = it.MultilinearRegular.new([4], np.zeros(1), np.ones(1), 2.0 * x)
+    # int64 obs allocate an int64 `out`: both native layers must refuse the
+    # buffer, and the JAX fallback raises TypeError (np.copyto same-kind),
+    # matching the reference's PyO3 TypeError — never silent garbage.
+    with pytest.raises(TypeError):
+        m.eval([np.array([1, 3])])
+    with pytest.raises(TypeError):
+        m.eval([np.array([1.0, 3.0])], np.zeros(2, dtype=np.int64))
+    # float obs with float out still work through the fast path
+    np.testing.assert_allclose(m.eval([np.array([1.0, 3.0])]), [2.0, 6.0])
+
+
+def test_native_cubic_extreme_coordinates():
+    """Huge/non-finite queries must saturate to the edge cell, never wrap
+    through an int cast (UB): a hugely negative query extrapolates from the
+    LOW edge, matching the JAX kernel's float-clamped locate."""
+    from interpn_tpu import ops
+
+    dims = [8]
+    vals = np.arange(8.0)  # linear ramp: cubic reproduces it exactly
+    for q in (-1e300, 1e300, -3e18, 3e18):
+        out = np.zeros(1)
+        assert native.cubic_regular(
+            dims, np.zeros(1), np.ones(1), vals, True, [np.array([q])], out
+        )
+        dev = ops.cubic_regular(
+            (8,), np.zeros(1), np.ones(1), vals, (np.array([q]),), True
+        )
+        np.testing.assert_allclose(out, np.asarray(dev), rtol=1e-12)
+    # NaN query: must not crash; result propagates NaN like the device path
+    out = np.zeros(1)
+    assert native.cubic_regular(
+        dims, np.zeros(1), np.ones(1), vals, True, [np.array([np.nan])], out
+    )
+    assert np.isnan(out[0])
+
+
+def test_check_bounds_dtype_follows_entry_point():
+    """check_bounds_regular_f32 computes in f32 even when handed float64
+    arrays (the reference computes strictly in the bound function's dtype)."""
+    from interpn_tpu import raw
+
+    # x = 1 - 1e-12 is strictly inside [0, 1] in f64, but rounds to the
+    # bound itself in f32; with atol=0 the on-bound point is flagged
+    # ((x - hi) >= atol), so the two entry points must disagree. Before the
+    # fix, the f32 entry point silently computed in f64 (dtype inferred from
+    # the float64 starts array) and returned False.
+    x = np.array([1.0 - 1e-12])
+    out32 = np.zeros(1, dtype=bool)
+    raw.check_bounds_regular_f32([2], np.array([0.0]), np.array([1.0]), [x], 0.0, out32)
+    out64 = np.zeros(1, dtype=bool)
+    raw.check_bounds_regular_f64([2], np.array([0.0]), np.array([1.0]), [x], 0.0, out64)
+    assert bool(out32[0])  # rounds onto the bound in f32 -> flagged
+    assert not bool(out64[0])  # strictly inside in f64
