@@ -1,18 +1,25 @@
-"""Implementation selection: gather-tree vs factorized-MXU evaluation.
+"""Implementation selection: gather-tree vs factorized-MXU vs fused Pallas.
 
-Two complete implementations exist for every method x grid-kind family:
+Three implementations cover every method x grid-kind family:
 
 * `gather` (ops.linear / ops.cubic / ops.nearest): per-vertex flat gathers +
   tree reduction. Matches the reference's evaluation order; the only choice
   for f64 (TPU emulates f64 arithmetic as float-float, and emulated matmuls
-  are ~400x slower than f32, so the factorized path is a loss there) and for
-  very large grids (factorized FLOPs scale with grid size).
+  are ~400x slower than f32, so the contraction paths are a loss there) and
+  for grids too large for the others.
 * `factorized` (ops.factorized): per-axis dense weight matrices contracted
-  on the MXU. On TPU v5e this is ~14x (linear) to ~90x (cubic) faster than
-  the gather path for f32 on the reference's benchmark-sized grids.
+  on the MXU via XLA einsums. Covers regular AND rectilinear grids; bound by
+  the HBM traffic of its inter-stage temporaries.
+* `pallas` (ops.pallas_v3): the factorized math fused per query tile in
+  VMEM (grouped MXU contraction + segment-sum tail, split-bf16 products).
+  Regular grids, f32, 2-8D, table <= VMEM. Fastest engine at every measured
+  shape (docs/perf.md): 1.3-2x over `factorized`, up to 9x on large grids.
 
 Selection happens at trace time from static information (dtype, grid size,
-query count, backend). Override with env INTERPN_TPU_IMPL=gather|factorized.
+query count, backend). Overrides: INTERPN_TPU_IMPL=gather|factorized|pallas,
+INTERPN_TPU_PRECISION=exact (default: 6-pass f32-exact contraction) |
+split (4 one-pass bf16 matmuls on row-centered tables) | fast (3) — see
+ops/pallas_v3.py for the accuracy ladder.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from . import factorized as _fz
+from . import pallas_v3 as _pv3
 from .cubic import cubic_rectilinear as _cubic_rect_gather
 from .cubic import cubic_regular as _cubic_reg_gather
 from .linear import linear_rectilinear as _linear_rect_gather
@@ -36,6 +44,17 @@ from .nearest import nearest_regular as _nearest_reg_gather
 MAX_FACTORIZED_GRID = 1 << 18
 # Below this query count the call is latency-bound either way.
 MIN_FACTORIZED_QUERIES = 32_768
+# Per-method grid-size ceilings for the fused Pallas engine, from measured
+# crossovers vs the gather path on v5e (docs/perf.md): the contraction pays
+# ~4 * 2 * prod(dims) bf16-MACs per query, the gather path is roughly
+# grid-size independent (cubic 1.8 Mq/s -> crossover ~14M cells, capped by
+# VMEM; linear 16 Mq/s -> ~768k cells; nearest fetches ONE element per
+# query and runs at 93 Mq/s, so only reference-benchmark-sized grids win).
+MAX_PALLAS_GRID = {
+    "cubic": 1 << 21,  # effectively the VMEM cap in pallas_v3.supported
+    "linear": 3 << 18,
+    "nearest": MAX_FACTORIZED_GRID,
+}
 
 
 def _vals_finite(vals) -> bool:
@@ -56,20 +75,44 @@ def _vals_finite(vals) -> bool:
         return True
 
 
-def _impl(dtype, nvals: int, obs0, vals_finite: bool) -> str:
+def _impl(dtype, nvals: int, obs0, vals_finite: bool, dims=None, method="") -> str:
+    """Pick the engine for one trace. `dims` is the static grid shape when
+    known (regular grids); rectilinear callers pass None and are served by
+    factorized/gather only."""
     mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
+    if mode == "pallas":
+        # forced pallas still honors hard capability limits (dtype/ndims/
+        # VMEM/rectilinear); ineligible traces fall back to factorized
+        if dims is not None and _pv3.supported(tuple(dims), dtype, method):
+            return "pallas"
+        mode = "factorized"
     if mode in ("gather", "factorized"):
         return mode
     if (
         dtype == jnp.float32
         and vals_finite
-        and getattr(obs0, "ndim", 1) == 1  # factorized kernels assume flat obs
-        and nvals <= MAX_FACTORIZED_GRID
+        and getattr(obs0, "ndim", 1) == 1  # contraction kernels assume flat obs
         and obs0.size >= MIN_FACTORIZED_QUERIES
         and jax.default_backend() == "tpu"
     ):
-        return "factorized"
+        if (
+            dims is not None
+            and nvals <= MAX_PALLAS_GRID.get(method, 0)
+            and _pv3.supported(tuple(dims), dtype, method)
+        ):
+            return "pallas"
+        if nvals <= MAX_FACTORIZED_GRID:
+            return "factorized"
     return "gather"
+
+
+def _pallas_passes() -> int:
+    """Contraction precision for the Pallas engine. Default is the f32-exact
+    6-pass product; INTERPN_TPU_PRECISION=split (4 one-pass bf16 matmuls,
+    row-centered, ~2^-17 of local data variation) or =fast (3) trade
+    accuracy for throughput."""
+    mode = os.environ.get("INTERPN_TPU_PRECISION", "exact")
+    return {"split": 4, "fast": 3}.get(mode, 6)
 
 
 def _resolve_finite(vals, vals_finite) -> bool:
@@ -78,7 +121,10 @@ def _resolve_finite(vals, vals_finite) -> bool:
 
 def nearest_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, math.prod(dims), obs[0], vf) == "factorized":
+    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest")
+    if impl == "pallas":
+        return _pv3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
+    if impl == "factorized":
         return _fz.nearest_regular_factorized(dims, starts, steps, vals, obs)
     return _nearest_reg_gather(dims, starts, steps, vals, obs)
 
@@ -93,7 +139,12 @@ def nearest_rectilinear(grids, vals, obs, *, vals_finite=None):
 
 def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, math.prod(dims), obs[0], vf) == "factorized":
+    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "linear")
+    if impl == "pallas":
+        return _pv3.eval_regular(
+            dims, starts, steps, vals, obs, "linear", True, _pallas_passes()
+        )
+    if impl == "factorized":
         return _fz.linear_regular_factorized(dims, starts, steps, vals, obs)
     return _linear_reg_gather(dims, starts, steps, vals, obs)
 
@@ -110,7 +161,13 @@ def cubic_regular(
     dims, starts, steps, vals, obs, linearize_extrapolation: bool, *, vals_finite=None
 ):
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, math.prod(dims), obs[0], vf) == "factorized":
+    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic")
+    if impl == "pallas":
+        return _pv3.eval_regular(
+            dims, starts, steps, vals, obs, "cubic",
+            bool(linearize_extrapolation), _pallas_passes(),
+        )
+    if impl == "factorized":
         return _fz.cubic_regular_factorized(
             dims, starts, steps, vals, obs, linearize_extrapolation
         )

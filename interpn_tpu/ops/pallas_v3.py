@@ -1,0 +1,336 @@
+"""Fused Pallas kernel, v3: last-axis MXU contraction + segment-sum tail.
+
+Why v1/v2 lost to the XLA factorized path (measured, see docs/perf.md):
+both built DENSE (tile, rest)-shaped weight matrices for the tail axes —
+~rest VPU ops per query per axis just to place 2-4 stencil weights — and ran
+the MXU stage as a 6-pass HIGHEST matmul with both operands rounded per
+call. v3 removes both costs:
+
+* The value table is reshaped to (rest, d_last) and contracts with the
+  last-axis weight matrix W_last (d_last, tq) on the MXU. For f32 accuracy
+  at one-pass speed the CONSTANT table is pre-split into bf16 hi/lo parts
+  once outside the kernel, the per-call weights are split in-kernel (cheap
+  VPU), and the product is assembled from one-pass bf16 matmuls:
+
+      T = Vhi@Whi + (Vhi@Wlo + Vlo@Whi [+ Vlo@Wlo])
+
+  3 passes reproduce jax's HIGH (~2^-16 relative), 4 passes give the full
+  bf16x2 product (~2^-17, the split representation error); both beat the
+  factorized path's HBM-bound HIGHEST einsum on wall clock.
+
+* The remaining axes reduce by SEGMENT SUM: T (lead*d_k, tq) is multiplied
+  by the (d_k, tq) weight matrix tiled along sublanes (pltpu.repeat) and
+  reshaped (lead, d_k, tq) -> sum(axis=1) — leading-axis reshapes are legal
+  in Mosaic, and the per-axis cost is O(lead*d_k) multiply-adds per query
+  instead of O(rest) selects. Only the tiny per-axis (d_k, tq) matrices are
+  ever built densely.
+
+* AXIS GROUPING: for higher-dimensional grids the trailing `group` axes are
+  folded into the MXU contraction (the combined weight matrix is built as a
+  repeat x tile product of the per-axis matrices), sizing K toward the
+  MXU's 128-deep sweet spot and shrinking the tail: a 20^4 grid contracts
+  as (400, 400) x (400, tq) instead of (8000, 20) x (20, tq). The group is
+  chosen at trace time by a padded-block cost model (_choose_group).
+
+Everything per tile lives in VMEM: HBM traffic is obs in + out out
+(4*(ndims+1) bytes/query). Cell location, saturation handling and the cubic
+basis weights are the same branchless constructions as `ops/locate.py` /
+`ops/cubic.py` (reference semantics: `src/multilinear/regular.rs:413-425`,
+`src/multicubic/regular.rs:431-469,472-623`), so results match the other
+engines modulo FP association order.
+
+Supported: regular grids, f32, 2-8D, value table small enough for VMEM.
+The dispatcher (ops/dispatch.py) routes eligible TPU traces here.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _cubic_axis_weights, _linear_axis_weights
+
+_I32 = jnp.int32
+
+# VMEM budget for the (rest, tq) contraction tile; the value table (split
+# into two bf16 copies) and the obs/out tiles ride on top.
+_TILE_BYTES = 4 * 1024 * 1024
+_MAX_TQ = 1024
+_MIN_TQ = 128
+# Largest value table kept resident in VMEM (f32 bytes; the hi+lo bf16
+# copies cost the same total). 100^3 f32 = 4 MB qualifies — verified on
+# v5e hardware with the raised scoped-VMEM limit below; the whole
+# large-grid story on TPU is keeping the table out of HBM.
+_MAX_VALS_BYTES = 4 * 1024 * 1024 + 64 * 1024
+# Widest combined trailing-axes weight matrix (K) worth building.
+_MAX_GROUP_K = 2048
+
+
+def supported(dims, dtype, method: str) -> bool:
+    if dtype != jnp.float32 or method not in ("linear", "cubic", "nearest"):
+        return False
+    if len(dims) < 2 or len(dims) > 8:
+        return False
+    if math.prod(dims) * 4 > _MAX_VALS_BYTES:
+        return False
+    # the MXU stage needs a real lane axis on the table
+    return dims[-1] >= 2
+
+
+def _tile_q(lead: int) -> int:
+    tq = _TILE_BYTES // max(lead * 4, 1)
+    tq = 1 << max(tq.bit_length() - 1, 0)
+    return max(_MIN_TQ, min(_MAX_TQ, tq))
+
+
+def _pad(x: int, m: int = 128) -> int:
+    return -(-x // m) * m
+
+
+def _choose_group(dims) -> int:
+    """Number of trailing axes folded into the MXU contraction.
+
+    Cost model per query tile: MXU work is the PADDED block volume
+    pad(lead) * pad(K) (the systolic array processes ceil(M/128) x
+    ceil(K/128) x ceil(N/128) full blocks whatever the true sizes), VPU work
+    is the combined-weight build (~K) plus the segment-sum tail (~lead).
+    The padding term is what grouping fixes: 20^4 as (8000, 20) pads 8000 ->
+    8064 and 20 -> 128 (13x waste); as (400, 400) it pads to (512, 512)
+    (1.6x)."""
+    ndims = len(dims)
+    best_g, best_cost = 1, None
+    k = 1
+    for g in range(1, ndims):
+        k *= dims[ndims - g]
+        if k > _MAX_GROUP_K and g > 1:
+            break
+        lead = math.prod(dims[: ndims - g])
+        mxu = _pad(lead) * _pad(k) // 64  # per 2 queries at one-pass rate
+        vpu = 16 * (k + lead)  # weight build + tail multiply-adds
+        cost = mxu + vpu
+        if best_cost is None or cost < best_cost:
+            best_g, best_cost = g, cost
+    return best_g
+
+
+def _nearest_axis_weights(x, start, step, dim):
+    """(loc, [1.0]) one-hot selection for one axis (dt <= 0.5 -> lower)."""
+    floc = jnp.floor((x - start) / step)
+    loc = jnp.clip(floc, 0.0, float(max(dim - 2, 0))).astype(_I32)
+    t = (x - (start + step * loc.astype(x.dtype))) / step
+    sel = loc + jnp.where(t <= 0.5, 0, 1).astype(_I32)
+    return sel, [jnp.ones_like(t)]
+
+
+def _axis_weights(x, start, step, dim, method, linearize):
+    if method == "linear":
+        return _linear_axis_weights(x, start, step, dim)
+    if method == "nearest":
+        return _nearest_axis_weights(x, start, step, dim)
+    return _cubic_axis_weights(x, start, step, dim, linearize)
+
+
+def _split_hi_lo(w, bitcast):
+    """Split f32 into bf16 hi + bf16 lo via mantissa masking.
+
+    The obvious split `hi = bf16(w); lo = bf16(w - f32(hi))` is folded to
+    lo == 0 by Mosaic (the f32->bf16->f32 round-trip is treated as identity
+    on hardware — measured: 3- and 4-pass products collapsed to one-pass
+    error). Masking the low 16 mantissa bits keeps every step an exact f32
+    operation the compiler cannot elide: hi_f32 is exactly representable in
+    bf16 (truncation), and w - hi_f32 is exact (low-bits subtraction).
+    """
+    u = bitcast(w, jnp.uint32)
+    hi_f32 = bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo_f32 = w - hi_f32
+    return hi_f32.astype(jnp.bfloat16), lo_f32.astype(jnp.bfloat16)
+
+
+def _weight_mat(tq, dim, loc, ws):
+    """(dim, tq) dense stencil weights (queries on lanes)."""
+    iota = jax.lax.broadcasted_iota(_I32, (dim, tq), 0)
+    w = jnp.zeros((dim, tq), jnp.float32)
+    for i, wi in enumerate(ws):
+        w = w + jnp.where(iota == loc.reshape(1, tq) + i, wi.reshape(1, tq), 0.0)
+    return w
+
+
+def _make_kernel(dims, method: str, linearize: bool, tq: int, passes: int):
+    """passes: 3 = drop the lo*lo product, 4 = full bf16x2 product, 6 =
+    single f32 dot at Precision.HIGHEST on the unsplit table (the default:
+    f32-exact products; also required for `nearest`, whose one-hot weights
+    must reproduce grid values bit-for-bit).
+
+    The split modes (3/4) are ROW-CENTERED: every method reproduces
+    constants exactly (the per-axis weights sum to 1), so the table rows are
+    shifted by their means outside the kernel and the shift is restored as
+    c_r * sum(W) in exact f32. The split-product error then scales with the
+    LOCAL variation of the data along the grouped axes, not its absolute
+    magnitude — a globally-offset table (temperatures ~300 K) costs nothing.
+    """
+    ndims = len(dims)
+    group = _choose_group(dims)
+    lead_total = math.prod(dims[: ndims - group])
+    exact = passes >= 6
+
+    def kernel(starts_ref, steps_ref, obs_ref, *refs):
+        # obs_ref: (ndims, tq); out: (1, tq)
+        # refs: (v_ref, out_ref) in exact mode, else
+        #       (vhi_ref, vlo_ref, c_ref, out_ref) with c the row means
+        out_ref = refs[-1]
+        per_axis = []
+        for k in range(ndims):
+            x = obs_ref[k, :].reshape(1, tq)
+            per_axis.append(
+                _axis_weights(
+                    x, starts_ref[0, k], steps_ref[0, k], dims[k], method, linearize
+                )
+            )
+
+        # Combined trailing-axes weight matrix (K, tq), built right-to-left:
+        # flat trailing index j = i_k * width + j'.
+        loc, ws = per_axis[ndims - 1]
+        wk = _weight_mat(tq, dims[ndims - 1], loc, ws)
+        width = dims[ndims - 1]
+        for k in range(ndims - 2, ndims - group - 1, -1):
+            loc, ws = per_axis[k]
+            wa = _weight_mat(tq, dims[k], loc, ws)
+            wk = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wk, dims[k], axis=0)
+            width *= dims[k]
+
+        # MXU stage: T (lead_total, tq) = V2 @ W.
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+        if exact:
+            t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
+        else:
+            vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
+            whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
+            t = dot(vhi_ref[:, :], whi)
+            t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
+            if passes >= 4:
+                t = t + dot(vlo_ref[:, :], wlo)
+            # restore the row centers: c_r * sum_k W[k, q], exact f32
+            t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
+
+        # Tail: segment-sum one leading axis at a time (innermost first).
+        if ndims - group == 0:
+            out_ref[0, :] = t.reshape(1, tq)[0, :]
+            return
+        lead = lead_total
+        for k in range(ndims - group - 1, 0, -1):
+            lead //= dims[k]
+            loc, ws = per_axis[k]
+            wm = _weight_mat(tq, dims[k], loc, ws)
+            t = t * pltpu.repeat(wm, lead, axis=0)
+            t = t.reshape(lead, dims[k], tq).sum(axis=1)
+
+        loc, ws = per_axis[0]
+        w0 = _weight_mat(tq, dims[0], loc, ws)
+        out_ref[0, :] = jnp.sum(t * w0, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _pallas_v3(dims, starts, steps, vals, method, linearize, passes, obs_mat):
+    ndims = len(dims)
+    group = _choose_group(dims)
+    ksize = math.prod(dims[ndims - group:])
+    lead = math.prod(dims[: ndims - group])
+    tq = _tile_q(max(lead, ksize))
+    n = obs_mat.shape[1]
+    kernel = _make_kernel(dims, method, linearize, tq, passes)
+    v2 = vals.reshape(max(lead, 1), ksize).astype(jnp.float32)
+    if passes >= 6:
+        tables = (v2,)
+        specs = [
+            pl.BlockSpec(
+                (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+    else:
+        c = jnp.mean(v2, axis=1, keepdims=True)
+        v2c = v2 - c
+        u = jax.lax.bitcast_convert_type(v2c, jnp.uint32)
+        vhi_f32 = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        tables = (
+            vhi_f32.astype(jnp.bfloat16),
+            (v2c - vhi_f32).astype(jnp.bfloat16),
+            c,
+        )
+        table_spec = pl.BlockSpec(
+            (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        specs = [
+            table_spec,
+            table_spec,
+            pl.BlockSpec(
+                (max(lead, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    starts2d = starts.reshape(1, ndims).astype(jnp.float32)
+    steps2d = steps.reshape(1, ndims).astype(jnp.float32)
+    # Large tables + the (lead, tq) contraction tile can exceed the default
+    # 16 MB scoped-VMEM budget (a 100^3 exact-mode table alone is 5 MB);
+    # v5e has more physical VMEM than the default scoped limit, so raise it
+    # when this configuration needs it.
+    need = (
+        lead * _pad(ksize) * 4  # table(s): one f32 or two bf16 copies
+        + 3 * lead * tq * 4  # T plus accumulation temporaries
+        + _pad(ksize) * tq * 8  # W and its hi/lo splits
+    )
+    params = {}
+    if need > 12 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
+        )
+    # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
+    # legalize; the kernel is pure f32/i32, so trace with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec((1, ndims), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ndims), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        )(starts2d, steps2d, obs_mat, *tables)
+    return out.reshape(n)
+
+
+def eval_regular(
+    dims, starts, steps, vals, obs, method: str, linearize: bool, passes: int = 6
+):
+    """v3 fused Pallas evaluation on a regular grid (f32, 2-8D).
+
+    The default (passes=6) matches the gather tree to f32 association-order
+    noise; passes=4/3 trade ~half the MXU passes for split-bf16 product
+    error (see _make_kernel)."""
+    if method == "nearest":
+        passes = 6  # one-hot selection must reproduce grid values exactly
+    n = obs[0].shape[0]
+    ndims = len(dims)
+    group = _choose_group(dims)
+    ksize = math.prod(dims[ndims - group:])
+    lead = math.prod(dims[: ndims - group])
+    tq = _tile_q(max(lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    obs_mat = jnp.stack(
+        [jnp.pad(o.astype(jnp.float32), (0, n_pad - n), mode="edge") for o in obs]
+    )
+    out = _pallas_v3(
+        tuple(dims), starts, steps, vals, method, bool(linearize), passes, obs_mat
+    )
+    return out[:n]

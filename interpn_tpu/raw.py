@@ -19,14 +19,22 @@ Semantics:
 
 from __future__ import annotations
 
-from functools import partial
 import math
+import warnings
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import native, ops
+
+# Donation is opportunistic: the one-shot shims donate every freshly-created
+# query buffer and XLA reuses (at most) one of them for the output. The
+# "not usable" advisory about the remaining ndims-1 buffers is expected.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 __all__ = [
     "interpn_linear_regular_f64",
@@ -61,40 +69,67 @@ _MAX_DIMS_MSG = (
 # `vals_finite` is a host-computed static flag: the factorized MXU path is
 # only safe when the grid has no inf/NaN sentinels (see ops.dispatch); values
 # can't be inspected during tracing, so the flag rides in from the shims.
+#
+# Each core exists in two jit wrappings: the plain one (for callers whose obs
+# arrays must stay alive — models.eval_jax hands back user device arrays) and
+# a donating one used by the one-shot shims when every obs array was freshly
+# created from host data. Donating the obs tuple lets XLA write the output
+# into one of the query buffers (same shape/dtype), preserving the
+# reference's zero-extra-allocation `out=` contract on device.
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _linear_regular(dims, starts, steps, vals, obs, vals_finite=True):
+def _linear_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
     return ops.linear_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _linear_rectilinear(grids, vals, obs, vals_finite=True):
+def _linear_rectilinear_impl(grids, vals, obs, vals_finite=True):
     return ops.linear_rectilinear(grids, vals, obs, vals_finite=vals_finite)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _nearest_regular(dims, starts, steps, vals, obs, vals_finite=True):
+def _nearest_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
     return ops.nearest_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _nearest_rectilinear(grids, vals, obs, vals_finite=True):
+def _nearest_rectilinear_impl(grids, vals, obs, vals_finite=True):
     return ops.nearest_rectilinear(grids, vals, obs, vals_finite=vals_finite)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def _cubic_regular(dims, starts, steps, vals, obs, linearize, vals_finite=True):
+def _cubic_regular_impl(dims, starts, steps, vals, obs, linearize, vals_finite=True):
     return ops.cubic_regular(
         dims, starts, steps, vals, obs, linearize, vals_finite=vals_finite
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _cubic_rectilinear(grids, vals, obs, linearize, vals_finite=True):
+def _cubic_rectilinear_impl(grids, vals, obs, linearize, vals_finite=True):
     return ops.cubic_rectilinear(
         grids, vals, obs, linearize, vals_finite=vals_finite
     )
+
+
+_linear_regular = jax.jit(_linear_regular_impl, static_argnums=(0, 5))
+_linear_regular_don = jax.jit(
+    _linear_regular_impl, static_argnums=(0, 5), donate_argnums=(4,)
+)
+_linear_rectilinear = jax.jit(_linear_rectilinear_impl, static_argnums=(3,))
+_linear_rectilinear_don = jax.jit(
+    _linear_rectilinear_impl, static_argnums=(3,), donate_argnums=(2,)
+)
+_nearest_regular = jax.jit(_nearest_regular_impl, static_argnums=(0, 5))
+_nearest_regular_don = jax.jit(
+    _nearest_regular_impl, static_argnums=(0, 5), donate_argnums=(4,)
+)
+_nearest_rectilinear = jax.jit(_nearest_rectilinear_impl, static_argnums=(3,))
+_nearest_rectilinear_don = jax.jit(
+    _nearest_rectilinear_impl, static_argnums=(3,), donate_argnums=(2,)
+)
+_cubic_regular = jax.jit(_cubic_regular_impl, static_argnums=(0, 5, 6))
+_cubic_regular_don = jax.jit(
+    _cubic_regular_impl, static_argnums=(0, 5, 6), donate_argnums=(4,)
+)
+_cubic_rectilinear = jax.jit(_cubic_rectilinear_impl, static_argnums=(3, 4))
+_cubic_rectilinear_don = jax.jit(
+    _cubic_rectilinear_impl, static_argnums=(3, 4), donate_argnums=(2,)
+)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -193,6 +228,12 @@ def _vals_finite_host(dtype, vals) -> bool:
         return True
 
 
+def _fresh_obs(obs) -> bool:
+    """True when every obs array is host data: _prep_list will create fresh
+    device buffers, which are then safe to donate to the kernel."""
+    return not any(isinstance(a, jax.Array) for a in obs)
+
+
 def _prep(dtype, *arrays):
     return tuple(_to_dev(a, dtype) for a in arrays)
 
@@ -219,9 +260,10 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _linear_regular_don if _fresh_obs(obs) else _linear_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_linear_regular(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
+    return _finish(core(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
 
 
 def interpn_linear_regular_f64(dims, starts, steps, vals, obs, out):
@@ -244,10 +286,11 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _linear_rectilinear_don if _fresh_obs(obs) else _linear_rectilinear
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_linear_rectilinear(grids_j, vals_j, obs_j, vf), out)
+    return _finish(core(grids_j, vals_j, obs_j, vf), out)
 
 
 def interpn_linear_rectilinear_f64(grids, vals, obs, out):
@@ -271,9 +314,10 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _nearest_regular_don if _fresh_obs(obs) else _nearest_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_nearest_regular(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
+    return _finish(core(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
 
 
 def interpn_nearest_regular_f64(dims, starts, steps, vals, obs, out):
@@ -296,10 +340,11 @@ def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _nearest_rectilinear_don if _fresh_obs(obs) else _nearest_rectilinear
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(_nearest_rectilinear(grids_j, vals_j, obs_j, vf), out)
+    return _finish(core(grids_j, vals_j, obs_j, vf), out)
 
 
 def interpn_nearest_rectilinear_f64(grids, vals, obs, out):
@@ -325,9 +370,10 @@ def _interpn_cubic_regular(
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _cubic_regular_don if _fresh_obs(obs) else _cubic_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    result = _cubic_regular(
+    result = core(
         dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )
     return _finish(result, out)
@@ -357,10 +403,11 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
     ):
         return out
     vf = _vals_finite_host(dtype, vals)
+    core = _cubic_rectilinear_don if _fresh_obs(obs) else _cubic_rectilinear
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    result = _cubic_rectilinear(
+    result = core(
         grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )
     return _finish(result, out)

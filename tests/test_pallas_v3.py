@@ -1,0 +1,111 @@
+"""Pallas v3 kernel (last-axis MXU + segment-sum tail): parity with the
+gather path in interpret mode on CPU; throughput is validated on real TPU
+hardware (docs/perf.md)."""
+
+import numpy as np
+import pytest
+
+import interpn_tpu  # noqa: F401
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from interpn_tpu import ops
+from interpn_tpu.ops import pallas_v3 as v3
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+
+def _case(dims, seed=0):
+    rng = np.random.default_rng(seed)
+    starts = jnp.asarray(rng.uniform(-1, 1, len(dims)), jnp.float32)
+    steps = jnp.asarray(rng.uniform(0.3, 1.0, len(dims)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))), jnp.float32)
+    n = 700  # non-multiple of the tile size: exercises padding
+    # interpolation plus up to ~2 cells of extrapolation per side (deep
+    # extrapolation amplifies the split-bf16x2 term magnitudes by |t|^3 and
+    # is equally ill-conditioned on every engine)
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(
+                float(starts[k]) - 2 * float(steps[k]),
+                float(starts[k]) + float(steps[k]) * (dims[k] + 1),
+                n,
+            ),
+            jnp.float32,
+        )
+        for k in range(len(dims))
+    )
+    return starts, steps, vals, obs
+
+
+@pytest.mark.parametrize("dims", [(8, 12), (10, 10, 10), (6, 5, 4, 7)])
+def test_v3_linear_matches_gather(dims):
+    starts, steps, vals, obs = _case(dims)
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "linear", True)
+    b = ops.linear.linear_regular(dims, starts, steps, vals, obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("linearize", [True, False])
+def test_v3_cubic_matches_gather(linearize):
+    dims = (8, 8, 8)
+    starts, steps, vals, obs = _case(dims, seed=3)
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "cubic", linearize)
+    b = ops.cubic.cubic_regular(dims, starts, steps, vals, obs, linearize)
+    # non-linearized cubic extrapolation amplifies the split-product term
+    # magnitudes by |t|^3, so the bf16x2 bound is ~1e-3 relative out there;
+    # exact mode (passes=6) restores HIGHEST-level agreement
+    tol = dict(rtol=5e-4, atol=2e-3) if linearize else dict(rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    a6 = v3.eval_regular(dims, starts, steps, vals, obs, "cubic", linearize, 6)
+    # remaining difference is pure f32 association order (contraction vs
+    # gather tree) on cancellation-heavy extrapolated points
+    np.testing.assert_allclose(np.asarray(a6), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_v3_cubic_5d():
+    dims = (4, 5, 4, 5, 4)
+    starts, steps, vals, obs = _case(dims, seed=5)
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "cubic", True)
+    b = ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-3)
+
+
+def test_v3_nearest_matches_gather():
+    dims = (9, 11, 7)
+    starts, steps, vals, obs = _case(dims, seed=7)
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
+    b = ops.nearest.nearest_regular(dims, starts, steps, vals, obs)
+    # one-hot selection: results must agree exactly except where a query sits
+    # within f32 noise of a tie midpoint (none in this random draw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v3_passes_accuracy_ordering():
+    """4-pass (full bf16x2) must not be less accurate than 3-pass."""
+    dims = (10, 10, 10)
+    starts, steps, vals, obs = _case(dims, seed=9)
+    b = np.asarray(ops.linear.linear_regular(dims, starts, steps, vals, obs))
+    scale = np.max(np.abs(b))
+    e3 = np.max(np.abs(np.asarray(
+        v3.eval_regular(dims, starts, steps, vals, obs, "linear", True, 3)) - b))
+    e4 = np.max(np.abs(np.asarray(
+        v3.eval_regular(dims, starts, steps, vals, obs, "linear", True, 4)) - b))
+    assert e4 <= e3 + 1e-7 * scale
+
+
+def test_v3_supported_policy():
+    assert v3.supported((20, 20, 20), jnp.float32, "linear")
+    assert v3.supported((20, 20, 20), jnp.float32, "nearest")
+    assert not v3.supported((20, 20, 20), jnp.float64, "linear")
+    assert not v3.supported((20,), jnp.float32, "linear")  # 1D: XLA path
+    assert not v3.supported((2048, 2048), jnp.float32, "linear")  # VMEM blowout

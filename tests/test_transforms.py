@@ -123,3 +123,54 @@ def test_model_gradient_api():
     gx, gy = m.gradient_jax(obs)
     np.testing.assert_allclose(np.asarray(gx), 2 * obs[0], atol=1e-9)
     np.testing.assert_allclose(np.asarray(gy), [3.0, 3.0, 3.0], atol=1e-9)
+
+
+def test_donated_core_reuses_query_buffer():
+    """The one-shot shims donate freshly-created obs buffers; XLA reuses one
+    of them for the output (the reference's zero-extra-allocation `out=`
+    contract, SURVEY.md §7 'no-alloc out= semantics')."""
+    from interpn_tpu import raw
+
+    vals = jnp.asarray(np.arange(16.0))
+    obs_j = tuple(jnp.asarray(np.full(64, 1.5)) for _ in range(2))
+    res = raw._linear_regular_don(
+        (4, 4), jnp.zeros(2), jnp.ones(2), vals, obs_j, True
+    )
+    res.block_until_ready()
+    # the donation consumed at least one query buffer
+    assert any(o.is_deleted() for o in obs_j)
+    # and the plain core (used for caller-owned device arrays) does not
+    obs_j2 = tuple(jnp.asarray(np.full(64, 1.5)) for _ in range(2))
+    raw._linear_regular(
+        (4, 4), jnp.zeros(2), jnp.ones(2), vals, obs_j2, True
+    ).block_until_ready()
+    assert not any(o.is_deleted() for o in obs_j2)
+
+
+def test_no_allocation_growth_across_repeated_eval():
+    """Repeated eval(obs, out) must not leak device allocations: the live
+    device-array count is stable across iterations (the persistent model
+    caches its grid constants once; per-call buffers are all released)."""
+    import interpn_tpu as it
+
+    x = np.linspace(0.0, 4.0, 5)
+    xg, yg = np.meshgrid(x, x, indexing="ij")
+    m = it.MultilinearRegular.new([5, 5], np.zeros(2), np.ones(2), (xg + yg).ravel())
+    obs = [np.random.default_rng(0).uniform(0, 4, 512) for _ in range(2)]
+    out = np.zeros(512)
+    m.eval(obs, out)  # warm: builds device cache + compiles
+    raw_obs = [np.random.default_rng(1).uniform(0, 4, 512) for _ in range(2)]
+    it.raw.interpn_linear_regular_f64(
+        [5, 5], np.zeros(2), np.ones(2), (xg + yg).ravel(), raw_obs, out
+    )
+    import gc
+
+    gc.collect()
+    base = len(jax.live_arrays())
+    for _ in range(5):
+        m.eval(obs, out)
+        it.raw.interpn_linear_regular_f64(
+            [5, 5], np.zeros(2), np.ones(2), (xg + yg).ravel(), raw_obs, out
+        )
+    gc.collect()
+    assert len(jax.live_arrays()) == base
