@@ -112,12 +112,6 @@ def main():
         _mats_linear(DIMS, starts, steps, ob), vals, DIMS))
     report("gather", lambda ob: gl.linear_regular(DIMS, starts, steps, vals, ob))
 
-    from interpn_tpu.ops import pallas_kernels as pk
-    from interpn_tpu.ops import pallas_v2 as p2
-    report("pallas v1", lambda ob: pk.eval_regular(
-        DIMS, starts, steps, vals, ob, "linear", True))
-    report("pallas v2", lambda ob: p2.eval_regular(
-        DIMS, starts, steps, vals, ob, "linear", True))
 
     # cubic for context
     refc = np.asarray(gc.cubic_regular(DIMS, starts, steps, vals, obs0, True))

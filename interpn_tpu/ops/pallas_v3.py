@@ -53,8 +53,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _cubic_axis_weights, _linear_axis_weights
-
 _I32 = jnp.int32
 
 # VMEM budget for the (rest, tq) contraction tile; the value table (split
@@ -69,6 +67,63 @@ _MIN_TQ = 128
 _MAX_VALS_BYTES = 4 * 1024 * 1024 + 64 * 1024
 # Widest combined trailing-axes weight matrix (K) worth building.
 _MAX_GROUP_K = 2048
+
+
+def _hermite(t, y0, dy, k0, k1):
+    a = k0 - dy
+    b = -k1 + dy
+    c1 = dy + a
+    c2 = b - (a + a)
+    c3 = a - b
+    return y0 + t * (c1 + t * (c2 + t * c3))
+
+
+def _locate_linear(x, start, step, dim):
+    floc = jnp.floor((x - start) / step)
+    loc = jnp.clip(floc, 0.0, float(max(dim - 2, 0))).astype(_I32)
+    t = (x - (start + step * loc.astype(x.dtype))) / step
+    return loc, t
+
+
+def _linear_axis_weights(x, start, step, dim):
+    """(loc, [w0, w1]) stencil weights for one axis, linear method."""
+    loc, t = _locate_linear(x, start, step, dim)
+    return loc, [1.0 - t, t]
+
+
+def _cubic_axis_weights(x, start, step, dim, linearize: bool):
+    """(loc, [w0..w3]) stencil weights for one axis, cubic method.
+
+    Basis extraction from the saturation-aware node function (linearity in
+    the stencil values), identical math to `ops/cubic._axis_reduce_regular`.
+    """
+    dtype = x.dtype
+    floc = jnp.floor((x - start) / step)
+    iloc = floc - 1.0
+    dimmax = float(max(dim - 4, 0))
+    loc = jnp.clip(iloc, 0.0, dimmax).astype(_I32)
+    low = iloc <= -1.0
+    high = (~low) & (iloc >= float(dim - 3))
+    outside = (iloc < -1.0) | ((~low) & (iloc > float(dim - 3)))
+    t = (x - (start + step * (loc + 1).astype(dtype))) / step
+
+    tt = jnp.where(low, -t, jnp.where(high, t - 1.0, t))
+    ws = []
+    for i in range(4):
+        v = [jnp.float32(1.0) if j == i else jnp.float32(0.0) for j in range(4)]
+        v0, v1, v2, v3 = v
+        y0 = jnp.where(high, v2, v1)
+        dy = jnp.where(low, v0 - v1, jnp.where(high, v3 - v2, v2 - v1))
+        half02 = (v2 - v0) * 0.5
+        half13 = (v3 - v1) * 0.5
+        k0 = jnp.where(low, -half02, jnp.where(high, half13, half02))
+        k1 = jnp.where(low | high, 2.0 * dy - k0, half13)
+        w = _hermite(tt, y0, dy, k0, k1)
+        if linearize:
+            lin = jnp.where(low, v0, v3) + k1 * (tt - 1.0)
+            w = jnp.where(outside, lin, w)
+        ws.append(w)
+    return loc, ws
 
 
 def supported(dims, dtype, method: str) -> bool:
