@@ -31,6 +31,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import c_strides
+from ._chunk import chunk_queries
 from ._gather import LIST_MAX_VERTS, gather_corners, gather_corners_matrix
 from .locate import locate_regular_cubic, locate_rectilinear_cubic
 
@@ -133,7 +134,25 @@ def cubic_regular(
 
     Matches `multicubic::regular::interpn` (`src/multicubic/regular.rs:52-135`)
     including quadratic continuation / linearized extrapolation semantics.
+
+    5-8D stencils (4^N > LIST_MAX_VERTS) fetch a (4^N, n) corner matrix;
+    flat query batches are chunked so that temporary stays bounded (5D f64
+    at 1M queries would otherwise materialize 8 GB at once).
     """
+    ndims = len(dims)
+    if 4**ndims > LIST_MAX_VERTS and getattr(obs[0], "ndim", 1) == 1:
+        return chunk_queries(
+            lambda ob: _cubic_regular_impl(
+                dims, starts, steps, vals, ob, linearize_extrapolation
+            ),
+            obs, 4**ndims, jnp.asarray(vals).dtype.itemsize,
+        )
+    return _cubic_regular_impl(
+        dims, starts, steps, vals, obs, linearize_extrapolation
+    )
+
+
+def _cubic_regular_impl(dims, starts, steps, vals, obs, linearize_extrapolation):
     ndims = len(dims)
     strides = c_strides(dims)
     base = jnp.zeros(obs[0].shape, dtype=_I32)
@@ -178,8 +197,21 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool):
 
     Matches `multicubic::rectilinear::interpn`
     (`src/multicubic/rectilinear.rs`), with slopes from distance-weighted
-    nonuniform centered differences.
+    nonuniform centered differences. 5-8D flat batches are chunked like
+    `cubic_regular`.
     """
+    ndims = len(grids)
+    if 4**ndims > LIST_MAX_VERTS and getattr(obs[0], "ndim", 1) == 1:
+        return chunk_queries(
+            lambda ob: _cubic_rectilinear_impl(
+                grids, vals, ob, linearize_extrapolation
+            ),
+            obs, 4**ndims, jnp.asarray(vals).dtype.itemsize,
+        )
+    return _cubic_rectilinear_impl(grids, vals, obs, linearize_extrapolation)
+
+
+def _cubic_rectilinear_impl(grids, vals, obs, linearize_extrapolation):
     ndims = len(grids)
     dims = tuple(int(g.shape[0]) for g in grids)
     strides = c_strides(dims)

@@ -38,6 +38,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ._chunk import chunk_queries
 from .cubic import _axis_reduce_regular, _axis_reduce_rectilinear
 from .locate import (
     locate_regular_cubic,
@@ -50,25 +51,13 @@ _I32 = jnp.int32
 
 
 # The first contraction materializes an (n_chunk, prod(dims[1:])) temporary;
-# bound it to ~this many bytes by chunking the query axis (lax.map over
-# chunks — serial, so peak memory is one chunk's worth, while each chunk is
-# large enough to keep the MXU busy).
+# bound it to ~this many bytes by chunking the query axis (see ops/_chunk.py).
 _CHUNK_BYTES = 2 * 1024 * 1024 * 1024
 
 
 def _chunk_queries(f, obs, rest: int, itemsize: int):
     """Evaluate f over query chunks sized to bound the contraction temp."""
-    n = obs[0].shape[0]
-    chunk = max(8192, _CHUNK_BYTES // max(rest * itemsize, 1))
-    chunk = 1 << (chunk.bit_length() - 1)  # round down to a power of two
-    if n <= chunk:
-        return f(obs)
-    nc = math.ceil(n / chunk)
-    pad = nc * chunk - n
-    obs_p = [jnp.pad(o, (0, pad), mode="edge") for o in obs]
-    stacked = jnp.stack([o.reshape(nc, chunk) for o in obs_p], axis=1)
-    out = jax.lax.map(lambda ob: f(tuple(ob)), stacked)
-    return out.reshape(-1)[:n]
+    return chunk_queries(f, obs, rest, itemsize, _CHUNK_BYTES)
 
 
 def _scatter_weights(loc, ws, dim: int):

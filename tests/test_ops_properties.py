@@ -199,3 +199,28 @@ def test_linear_and_cubic_high_dims(ndims):
     out_c = np.zeros_like(expected_c)
     it.raw.interpn_cubic_regular_f64(dims_c, starts, steps_c, vals_c, True, obs_c, out_c)
     np.testing.assert_allclose(out_c, expected_c, atol=1e-9)
+
+
+def test_cubic_5d_large_batch_is_chunked(monkeypatch):
+    """The 5-8D cubic gather tail fetches a (4^N, n) corner matrix; flat
+    batches must be evaluated in query chunks (5D f64 at 1M queries would
+    otherwise materialize an 8 GB temporary — OOMs a real chip)."""
+    import jax.numpy as jnp
+
+    from interpn_tpu.ops import _chunk, cubic
+
+    monkeypatch.setattr(_chunk, "DEFAULT_CHUNK_BYTES", 1)  # floor: 8192/chunk
+    rng = np.random.default_rng(11)
+    dims = (4, 4, 4, 4, 4)
+    axes = [np.arange(4.0) for _ in range(5)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    vals = jnp.asarray(np.sum(np.stack(mesh), axis=0).ravel())
+    n = 8192 + 777  # forces two chunks + tail padding
+    obs = tuple(jnp.asarray(rng.uniform(-0.5, 3.5, n)) for _ in range(5))
+    out = cubic.cubic_regular(dims, jnp.zeros(5), jnp.ones(5), vals, obs, True)
+    expected = np.sum(np.stack([np.asarray(o) for o in obs]), axis=0)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-9)
+    # rectilinear flavor too
+    grids = tuple(jnp.asarray(a) for a in axes)
+    out_r = cubic.cubic_rectilinear(grids, vals, obs, True)
+    np.testing.assert_allclose(np.asarray(out_r), expected, atol=1e-9)
