@@ -62,7 +62,7 @@ def _build() -> Path | None:
     # ulp rather than bit-for-bit.
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=fast",
-        "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(out),
+        "-std=c++17", "-shared", "-fPIC", "-pthread", str(_SRC), "-o", str(out),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -130,6 +130,18 @@ def _load_fastcall():
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_threads(n: int | None) -> bool:
+    """Set the evaluation thread count (None or <=0 restores auto: the
+    INTERPN_TPU_NATIVE_THREADS env var, else hardware_concurrency capped at
+    16). Threading shards the obs axis into contiguous ranges; results are
+    bitwise identical to single-threaded evaluation."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.itn_set_threads(_INT(-1 if n is None or n <= 0 else int(n)))
+    return True
 
 
 def use_native(n: int) -> bool:

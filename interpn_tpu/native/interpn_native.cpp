@@ -25,8 +25,64 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
+#include <cstdlib>
+#include <thread>
+#include <vector>
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// Observation-axis threading. The per-point loops are embarrassingly
+// parallel (the reference is single-threaded by design,
+// src/multilinear/regular.rs:268-283 — a deliberate non-goal there); here
+// each eval shards [0, n) into contiguous ranges, one std::thread each.
+// Determinism: ranges are disjoint and the per-point math is identical, so
+// results are bitwise equal to the single-thread run.
+// ---------------------------------------------------------------------------
+
+std::atomic<int> g_threads{-1};  // -1 = auto (env / hardware_concurrency)
+
+int native_threads(int64_t n) {
+  int configured = g_threads.load(std::memory_order_relaxed);
+  if (configured < 0) {
+    static const int auto_threads = [] {
+      const char* env = std::getenv("INTERPN_TPU_NATIVE_THREADS");
+      if (env && *env) return std::max(1, std::atoi(env));
+      const unsigned hc = std::thread::hardware_concurrency();
+      return hc ? std::min<int>((int)hc, 16) : 1;
+    }();
+    configured = auto_threads;
+  }
+  // thread spawn costs ~15-30 us; below this per-thread share it is a loss
+  const int64_t MIN_PER_THREAD = 16384;
+  const int by_n = (int)std::max<int64_t>(1, n / MIN_PER_THREAD);
+  return std::max(1, std::min(configured, by_n));
+}
+
+template <typename T, typename F>
+int run_sharded(int ndims, const T* const* obs, T* out, int64_t n, F call) {
+  if (ndims < 1 || ndims > 8) return 1;
+  const int nt = native_threads(n);
+  if (nt <= 1) return call(obs, out, n);
+  std::vector<std::thread> pool;
+  std::vector<int> rcs((size_t)nt, 0);
+  const int64_t per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = (int64_t)t * per;
+    const int64_t cnt = std::min<int64_t>(per, n - lo);
+    if (cnt <= 0) break;
+    pool.emplace_back([=, &rcs] {
+      const T* sub[8];
+      for (int k = 0; k < ndims; ++k) sub[k] = obs[k] + lo;
+      rcs[(size_t)t] = call(sub, out + lo, cnt);
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int rc : rcs)
+    if (rc) return rc;
+  return 0;
+}
 
 // Hermite node evaluation: returns the exact endpoint values at t == 0 and
 // t == 1 (y0 resp. yend) so grid nodes reproduce bit-for-bit regardless of
@@ -402,11 +458,20 @@ int dispatch_cubic(int ndims, A... a) {
 
 extern "C" {
 
+int itn_set_threads(int t) {  // <= 0 restores auto
+  g_threads.store(t > 0 ? t : -1, std::memory_order_relaxed);
+  return 0;
+}
+
 #define REGULAR_FN(name, T, KERNEL)                                          \
   int name(const int64_t* dims, int ndims, const T* starts, const T* steps,  \
            const T* vals, const T* const* obs, T* out, int64_t n) {          \
-    return dispatch_regular<KERNEL, T>(ndims, dims, starts, steps, vals,     \
-                                       obs, out, n);                         \
+    return run_sharded<T>(                                                   \
+        ndims, obs, out, n,                                                  \
+        [&](const T* const* o, T* ou, int64_t c) {                           \
+          return dispatch_regular<KERNEL, T>(ndims, dims, starts, steps,     \
+                                             vals, o, ou, c);                \
+        });                                                                  \
   }
 
 REGULAR_FN(itn_linear_regular_f64, double, LinearRegular)
@@ -417,8 +482,12 @@ REGULAR_FN(itn_nearest_regular_f32, float, NearestRegular)
 #define RECT_FN(name, T, KERNEL)                                             \
   int name(const T* const* grids, const int64_t* dims, int ndims,            \
            const T* vals, const T* const* obs, T* out, int64_t n) {          \
-    return dispatch_regular<KERNEL, T>(ndims, grids, dims, vals, obs, out,   \
-                                       n);                                   \
+    return run_sharded<T>(                                                   \
+        ndims, obs, out, n,                                                  \
+        [&](const T* const* o, T* ou, int64_t c) {                           \
+          return dispatch_regular<KERNEL, T>(ndims, grids, dims, vals, o,    \
+                                             ou, c);                         \
+        });                                                                  \
   }
 
 RECT_FN(itn_linear_rectilinear_f64, double, LinearRectilinear)
@@ -430,8 +499,13 @@ RECT_FN(itn_nearest_rectilinear_f32, float, NearestRectilinear)
   int name(const int64_t* dims, int ndims, const T* starts, const T* steps,  \
            const T* vals, int linearize, const T* const* obs, T* out,        \
            int64_t n) {                                                      \
-    return dispatch_cubic<CubicRegular, T>(ndims, dims, starts, steps, vals, \
-                                           linearize != 0, obs, out, n);     \
+    return run_sharded<T>(                                                   \
+        ndims, obs, out, n,                                                  \
+        [&](const T* const* o, T* ou, int64_t c) {                           \
+          return dispatch_cubic<CubicRegular, T>(ndims, dims, starts, steps, \
+                                                 vals, linearize != 0, o,    \
+                                                 ou, c);                     \
+        });                                                                  \
   }
 
 CUBIC_REGULAR_FN(itn_cubic_regular_f64, double)
@@ -441,8 +515,12 @@ CUBIC_REGULAR_FN(itn_cubic_regular_f32, float)
   int name(const T* const* grids, const int64_t* dims, int ndims,            \
            const T* vals, int linearize, const T* const* obs, T* out,        \
            int64_t n) {                                                      \
-    return dispatch_cubic<CubicRectilinear, T>(ndims, grids, dims, vals,     \
-                                               linearize != 0, obs, out, n); \
+    return run_sharded<T>(                                                   \
+        ndims, obs, out, n,                                                  \
+        [&](const T* const* o, T* ou, int64_t c) {                           \
+          return dispatch_cubic<CubicRectilinear, T>(                        \
+              ndims, grids, dims, vals, linearize != 0, o, ou, c);           \
+        });                                                                  \
   }
 
 CUBIC_RECT_FN(itn_cubic_rectilinear_f64, double)

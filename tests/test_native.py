@@ -191,3 +191,36 @@ def test_check_bounds_dtype_follows_entry_point():
     raw.check_bounds_regular_f64([2], np.array([0.0]), np.array([1.0]), [x], 0.0, out64)
     assert bool(out32[0])  # rounds onto the bound in f32 -> flagged
     assert not bool(out64[0])  # strictly inside in f64
+
+
+def test_native_threading_bitwise_identical():
+    """Obs-axis threading shards into contiguous ranges with identical
+    per-point math: results must be bitwise equal to single-threaded runs
+    (and the >n-threads / non-divisible-n edge cases must cover all points)."""
+    rng = np.random.default_rng(31)
+    dims = [12, 12, 12]
+    vals = rng.standard_normal(12**3)
+    n = 100_003  # prime-ish: uneven shard sizes
+    obs = [rng.uniform(-1.0, 12.0, n) for _ in range(3)]
+    out1 = np.zeros(n)
+    assert native.set_threads(1)
+    assert native.cubic_regular(dims, np.zeros(3), np.ones(3), vals, True, obs, out1)
+    for nt in (2, 4, 16):
+        outn = np.full(n, np.nan)
+        native.set_threads(nt)
+        assert native.cubic_regular(
+            dims, np.zeros(3), np.ones(3), vals, True, obs, outn
+        )
+        np.testing.assert_array_equal(out1, outn)
+    # rectilinear + linear flavors through the same sharded entry
+    grids = [np.sort(rng.uniform(0, 12, 12)) for _ in range(3)]
+    for g in grids:
+        g[0], g[-1] = -0.5, 12.5
+    ref = np.zeros(n)
+    native.set_threads(1)
+    assert native.linear_rectilinear(grids, vals, obs, ref)
+    outn = np.zeros(n)
+    native.set_threads(8)
+    assert native.linear_rectilinear(grids, vals, obs, outn)
+    np.testing.assert_array_equal(ref, outn)
+    native.set_threads(None)  # restore auto
