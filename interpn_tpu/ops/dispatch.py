@@ -12,8 +12,9 @@ Three implementations cover every method x grid-kind family:
   the HBM traffic of its inter-stage temporaries.
 * `pallas` (ops.pallas_v3): the factorized math fused per query tile in
   VMEM (grouped MXU contraction + segment-sum tail, split-bf16 products).
-  Regular grids, f32, 2-8D, table <= VMEM. Fastest engine at every measured
-  shape (docs/perf.md): 1.3-2x over `factorized`, up to 9x on large grids.
+  Regular AND rectilinear grids, f32, 2-8D, table <= VMEM. Fastest engine
+  at every measured shape (docs/perf.md): 1.1-2x over `factorized`, up to
+  9x over gather on large grids, 64x for rectilinear cubic.
 
 Selection happens at trace time from static information (dtype, grid size,
 query count, backend). Overrides: INTERPN_TPU_IMPL=gather|factorized|pallas,
@@ -44,17 +45,21 @@ from .nearest import nearest_regular as _nearest_reg_gather
 MAX_FACTORIZED_GRID = 1 << 18
 # Below this query count the call is latency-bound either way.
 MIN_FACTORIZED_QUERIES = 32_768
-# Per-method grid-size ceilings for the fused Pallas engine, from measured
-# crossovers vs the gather path on v5e (docs/perf.md): the contraction pays
-# ~4 * 2 * prod(dims) bf16-MACs per query, the gather path is roughly
-# grid-size independent (cubic 1.8 Mq/s -> crossover ~14M cells, capped by
-# VMEM; linear 16 Mq/s -> ~768k cells; nearest fetches ONE element per
-# query and runs at 93 Mq/s, so only reference-benchmark-sized grids win).
+# Per-method grid-size ceilings for the fused Pallas engine on REGULAR
+# grids, from measured crossovers vs the gather path on v5e (docs/perf.md):
+# the contraction pays ~2 * prod(dims) MACs per query per pass, the gather
+# path is roughly grid-size independent (cubic 1.8 Mq/s -> crossover far
+# above the VMEM cap; linear 16 Mq/s -> ~768k cells; nearest fetches ONE
+# element per query at 93 Mq/s, so only benchmark-sized grids win).
+# RECTILINEAR gather pays a bisection per point on top (linear 3.4 / cubic
+# 1.2 / nearest 4.3 Mq/s on a 100^3 grid), so pallas wins at every size it
+# supports, for every method.
 MAX_PALLAS_GRID = {
     "cubic": 1 << 21,  # effectively the VMEM cap in pallas_v3.supported
     "linear": 3 << 18,
     "nearest": MAX_FACTORIZED_GRID,
 }
+MAX_PALLAS_GRID_RECT = 1 << 21
 
 
 def _vals_finite(vals) -> bool:
@@ -75,10 +80,13 @@ def _vals_finite(vals) -> bool:
         return True
 
 
-def _impl(dtype, nvals: int, obs0, vals_finite: bool, dims=None, method="") -> str:
-    """Pick the engine for one trace. `dims` is the static grid shape when
-    known (regular grids); rectilinear callers pass None and are served by
-    factorized/gather only."""
+def _impl(
+    dtype, nvals: int, obs0, vals_finite: bool, dims=None, method="",
+    rect: bool = False,
+) -> str:
+    """Pick the engine for one trace. `dims` is the static grid shape
+    (regular: from the dims argument; rectilinear: from the grid array
+    shapes, equally static at trace time)."""
     mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
     if mode == "pallas":
         # forced pallas still honors hard capability limits (dtype/ndims/
@@ -95,9 +103,10 @@ def _impl(dtype, nvals: int, obs0, vals_finite: bool, dims=None, method="") -> s
         and obs0.size >= MIN_FACTORIZED_QUERIES
         and jax.default_backend() == "tpu"
     ):
+        cap = MAX_PALLAS_GRID_RECT if rect else MAX_PALLAS_GRID.get(method, 0)
         if (
             dims is not None
-            and nvals <= MAX_PALLAS_GRID.get(method, 0)
+            and nvals <= cap
             and _pv3.supported(tuple(dims), dtype, method)
         ):
             return "pallas"
@@ -130,9 +139,14 @@ def nearest_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
 
 
 def nearest_rectilinear(grids, vals, obs, *, vals_finite=None):
-    nvals = math.prod(int(g.shape[0]) for g in grids)
+    dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, nvals, obs[0], vf) == "factorized":
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest", rect=True
+    )
+    if impl == "pallas":
+        return _pv3.eval_rectilinear(grids, vals, obs, "nearest", True)
+    if impl == "factorized":
         return _fz.nearest_rectilinear_factorized(grids, vals, obs)
     return _nearest_rect_gather(grids, vals, obs)
 
@@ -150,9 +164,16 @@ def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
 
 
 def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
-    nvals = math.prod(int(g.shape[0]) for g in grids)
+    dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, nvals, obs[0], vf) == "factorized":
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", rect=True
+    )
+    if impl == "pallas":
+        return _pv3.eval_rectilinear(
+            grids, vals, obs, "linear", True, _pallas_passes()
+        )
+    if impl == "factorized":
         return _fz.linear_rectilinear_factorized(grids, vals, obs)
     return _linear_rect_gather(grids, vals, obs)
 
@@ -175,9 +196,17 @@ def cubic_regular(
 
 
 def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_finite=None):
-    nvals = math.prod(int(g.shape[0]) for g in grids)
+    dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
-    if _impl(vals.dtype, nvals, obs[0], vf) == "factorized":
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", rect=True
+    )
+    if impl == "pallas":
+        return _pv3.eval_rectilinear(
+            grids, vals, obs, "cubic",
+            bool(linearize_extrapolation), _pallas_passes(),
+        )
+    if impl == "factorized":
         return _fz.cubic_rectilinear_factorized(
             grids, vals, obs, linearize_extrapolation
         )

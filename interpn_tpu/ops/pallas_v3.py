@@ -389,3 +389,212 @@ def eval_regular(
         tuple(dims), starts, steps, vals, method, bool(linearize), passes, obs_mat
     )
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Rectilinear grids
+#
+# Same engine; only the per-axis weight construction differs. The bisection
+# locate becomes a branchless vectorized count (searchsorted(side='left') ==
+# count of grid points < x, `src/multilinear/rectilinear.rs:352-370`), and
+# the bracketing grid coordinates are extracted by one-hot select-sums over
+# the (d, tile) plane — no per-lane gather needed. The cubic basis weights
+# evaluate the SAME saturation-aware node function as the XLA engines
+# (`ops.cubic._axis_reduce_rectilinear`) on the four unit basis vectors.
+# Grid coordinate arrays ride in VMEM as one (dmax, ndims) f32 array, rows
+# past each axis's length padded with +inf (never counted, never selected).
+# ---------------------------------------------------------------------------
+
+
+def _rect_sel(gcol, loc, i, dim: int, tq: int):
+    """grid[loc + i] per query: one-hot select-sum over the (dim, tq) plane."""
+    iota = jax.lax.broadcasted_iota(_I32, (dim, tq), 0)
+    mask = iota == (loc + i)
+    return jnp.sum(jnp.where(mask, gcol, 0.0), axis=0, keepdims=True)
+
+
+def _rect_axis_weights(x, gcol, dim: int, method: str, linearize: bool, tq: int):
+    """(loc, [w...]) for one rectilinear axis; x (1, tq), gcol (dim, 1)."""
+    from .cubic import _axis_reduce_rectilinear
+
+    cnt = jnp.sum((gcol < x).astype(_I32), axis=0, keepdims=True)
+    if method in ("linear", "nearest"):
+        loc = jnp.clip(cnt - 1, 0, max(dim - 2, 0))
+        x0 = _rect_sel(gcol, loc, 0, dim, tq)
+        x1 = _rect_sel(gcol, loc, 1, dim, tq)
+        t = (x - x0) / (x1 - x0)
+        if method == "linear":
+            return loc, [1.0 - t, t]
+        sel = loc + jnp.where(t <= 0.5, 0, 1).astype(_I32)
+        return sel, [jnp.ones_like(t)]
+
+    iloc = cnt - 2
+    loc = jnp.clip(iloc, 0, max(dim - 4, 0))
+    low = iloc <= -1
+    high = (~low) & (iloc >= dim - 3)
+    outside = (iloc < -1) | ((~low) & (iloc > dim - 3))
+    gct = tuple(_rect_sel(gcol, loc, i, dim, tq) for i in range(4))
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    ws = []
+    for i in range(4):
+        e = tuple(one if j == i else zero for j in range(4))
+        ws.append(
+            _axis_reduce_rectilinear(e, x, gct, low, high, outside, linearize)
+        )
+    return loc, ws
+
+
+def _make_kernel_rect(dims, method: str, linearize: bool, tq: int, passes: int):
+    """Rectilinear twin of _make_kernel; gridsT replaces starts/steps."""
+    ndims = len(dims)
+    group = _choose_group(dims)
+    lead_total = math.prod(dims[: ndims - group])
+    exact = passes >= 6
+
+    def kernel(gridsT_ref, obs_ref, *refs):
+        # gridsT_ref: (dmax, ndims); obs_ref: (ndims, tq); out: (1, tq)
+        out_ref = refs[-1]
+        per_axis = []
+        for k in range(ndims):
+            x = obs_ref[k, :].reshape(1, tq)
+            gcol = gridsT_ref[: dims[k], k].reshape(dims[k], 1)
+            per_axis.append(
+                _rect_axis_weights(x, gcol, dims[k], method, linearize, tq)
+            )
+
+        loc, ws = per_axis[ndims - 1]
+        wk = _weight_mat(tq, dims[ndims - 1], loc, ws)
+        width = dims[ndims - 1]
+        for k in range(ndims - 2, ndims - group - 1, -1):
+            loc, ws = per_axis[k]
+            wa = _weight_mat(tq, dims[k], loc, ws)
+            wk = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wk, dims[k], axis=0)
+            width *= dims[k]
+
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+        if exact:
+            t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
+        else:
+            vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
+            whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
+            t = dot(vhi_ref[:, :], whi)
+            t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
+            if passes >= 4:
+                t = t + dot(vlo_ref[:, :], wlo)
+            t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
+
+        lead = lead_total
+        for k in range(ndims - group - 1, 0, -1):
+            lead //= dims[k]
+            loc, ws = per_axis[k]
+            wm = _weight_mat(tq, dims[k], loc, ws)
+            t = t * pltpu.repeat(wm, lead, axis=0)
+            t = t.reshape(lead, dims[k], tq).sum(axis=1)
+
+        loc, ws = per_axis[0]
+        w0 = _weight_mat(tq, dims[0], loc, ws)
+        out_ref[0, :] = jnp.sum(t * w0, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _pallas_v3_rect(dims, gridsT, vals, obs_mat, method, linearize, passes):
+    ndims = len(dims)
+    group = _choose_group(dims)
+    ksize = math.prod(dims[ndims - group:])
+    lead = math.prod(dims[: ndims - group])
+    tq = _tile_q(max(lead, ksize))
+    n = obs_mat.shape[1]
+    kernel = _make_kernel_rect(dims, method, linearize, tq, passes)
+    v2 = vals.reshape(max(lead, 1), ksize).astype(jnp.float32)
+    if passes >= 6:
+        tables = (v2,)
+        specs = [
+            pl.BlockSpec(
+                (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+    else:
+        c = jnp.mean(v2, axis=1, keepdims=True)
+        v2c = v2 - c
+        u = jax.lax.bitcast_convert_type(v2c, jnp.uint32)
+        vhi_f32 = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        tables = (
+            vhi_f32.astype(jnp.bfloat16),
+            (v2c - vhi_f32).astype(jnp.bfloat16),
+            c,
+        )
+        table_spec = pl.BlockSpec(
+            (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        specs = [
+            table_spec,
+            table_spec,
+            pl.BlockSpec(
+                (max(lead, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    dmax = gridsT.shape[0]
+    need = (
+        lead * _pad(ksize) * 4
+        + 3 * lead * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = {}
+    if need > 12 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
+        )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec(
+                    (dmax, ndims), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        )(gridsT.astype(jnp.float32), obs_mat, *tables)
+    return out.reshape(n)
+
+
+def eval_rectilinear(
+    grids, vals, obs, method: str, linearize: bool, passes: int = 6
+):
+    """v3 fused Pallas evaluation on a rectilinear grid (f32, 2-8D)."""
+    if method == "nearest":
+        passes = 6  # one-hot selection must reproduce grid values exactly
+    dims = tuple(int(g.shape[0]) for g in grids)
+    ndims = len(dims)
+    dmax = max(dims)
+    # pad rows past each axis's length with +inf: never < x, never selected
+    cols = [
+        jnp.pad(
+            jnp.asarray(g, jnp.float32), (0, dmax - dims[k]),
+            constant_values=jnp.inf,
+        )
+        for k, g in enumerate(grids)
+    ]
+    gridsT = jnp.stack(cols, axis=1)  # (dmax, ndims)
+    group = _choose_group(dims)
+    ksize = math.prod(dims[ndims - group:])
+    lead = math.prod(dims[: ndims - group])
+    tq = _tile_q(max(lead, ksize))
+    n = obs[0].shape[0]
+    n_pad = ((n + tq - 1) // tq) * tq
+    obs_mat = jnp.stack(
+        [jnp.pad(o.astype(jnp.float32), (0, n_pad - n), mode="edge") for o in obs]
+    )
+    out = _pallas_v3_rect(
+        dims, gridsT, vals, obs_mat, method, bool(linearize), passes
+    )
+    return out[:n]

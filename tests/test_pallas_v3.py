@@ -109,3 +109,47 @@ def test_v3_supported_policy():
     assert not v3.supported((20, 20, 20), jnp.float64, "linear")
     assert not v3.supported((20,), jnp.float32, "linear")  # 1D: XLA path
     assert not v3.supported((2048, 2048), jnp.float32, "linear")  # VMEM blowout
+
+
+def _rect_case(dims, seed=0):
+    rng = np.random.default_rng(seed)
+    grids = tuple(
+        jnp.asarray(np.cumsum(0.2 + rng.random(d)).astype(np.float32))
+        for d in dims
+    )
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))), jnp.float32)
+    n = 700
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(float(g[0]) - 1.0, float(g[-1]) + 1.0, n), jnp.float32
+        )
+        for g in grids
+    )
+    return grids, vals, obs
+
+
+@pytest.mark.parametrize("dims", [(8, 12), (10, 10, 10), (6, 5, 4, 7)])
+def test_v3_rect_linear_matches_gather(dims):
+    grids, vals, obs = _rect_case(dims)
+    a = v3.eval_rectilinear(grids, vals, obs, "linear", True)
+    b = ops.linear.linear_rectilinear(grids, vals, obs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-3)
+    a6 = v3.eval_rectilinear(grids, vals, obs, "linear", True, 6)
+    np.testing.assert_allclose(np.asarray(a6), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("linearize", [True, False])
+def test_v3_rect_cubic_matches_gather(linearize):
+    dims = (8, 9, 10)  # distinct axis lengths exercise the +inf row padding
+    grids, vals, obs = _rect_case(dims, seed=3)
+    a = v3.eval_rectilinear(grids, vals, obs, "cubic", linearize, 6)
+    b = ops.cubic.cubic_rectilinear(grids, vals, obs, linearize)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_v3_rect_nearest_matches_gather():
+    dims = (9, 11, 7)
+    grids, vals, obs = _rect_case(dims, seed=7)
+    a = v3.eval_rectilinear(grids, vals, obs, "nearest", True)
+    b = ops.nearest.nearest_rectilinear(grids, vals, obs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
