@@ -75,7 +75,9 @@ def _scan_time(kernel, obs_stacks):
     def run(obs_stack):
         def body(acc, ob):
             out = kernel(tuple(ob))
-            return acc + out[0] + out[-1], None
+            # full reduction: a sliced reduction would let XLA dead-code
+            # eliminate the work being timed on non-custom-call paths
+            return acc + jnp.sum(out), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), obs_stack.dtype), obs_stack)
         return acc

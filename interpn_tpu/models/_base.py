@@ -63,7 +63,18 @@ class InterpolatorBase(BaseModel):
     # ---- shared API ------------------------------------------------------
     def _dev_cache(self):
         if self._dev is None:
-            object.__setattr__(self, "_dev", self._device_constants())
+            dev = self._device_constants()
+            # First call may happen inside a jit trace (a user wrapping
+            # eval_jax); constants created there are trace-local tracers and
+            # MUST NOT be cached — they would leak and poison every later
+            # call (UnexpectedTracerError). Serve them uncached and let the
+            # first eager call populate the cache.
+            if any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(dev)
+            ):
+                return dev
+            object.__setattr__(self, "_dev", dev)
         return self._dev
 
     @property

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import factorized as _fz
+from . import pallas_df64 as _pdf
 from . import pallas_v3 as _pv3
 from .cubic import cubic_rectilinear as _cubic_rect_gather
 from .cubic import cubic_regular as _cubic_reg_gather
@@ -97,6 +98,18 @@ def _impl(
     if mode in ("gather", "factorized"):
         return mode
     if (
+        dtype == jnp.float64
+        and vals_finite
+        and getattr(obs0, "ndim", 1) == 1
+        and obs0.size >= MIN_FACTORIZED_QUERIES
+        and jax.default_backend() == "tpu"
+        and dims is not None
+        and _pdf.supported(tuple(dims), method)
+    ):
+        # double-float contraction engine: ~1e-14 relative agreement with
+        # the f64 gather tree at 2-15x its throughput (docs/perf.md)
+        return "df64"
+    if (
         dtype == jnp.float32
         and vals_finite
         and getattr(obs0, "ndim", 1) == 1  # contraction kernels assume flat obs
@@ -154,6 +167,8 @@ def nearest_rectilinear(grids, vals, obs, *, vals_finite=None):
 def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     vf = _resolve_finite(vals, vals_finite)
     impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "linear")
+    if impl == "df64":
+        return _pdf.eval_regular(dims, starts, steps, vals, obs, "linear")
     if impl == "pallas":
         return _pv3.eval_regular(
             dims, starts, steps, vals, obs, "linear", True, _pallas_passes()
@@ -169,6 +184,8 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
     impl = _impl(
         vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", rect=True
     )
+    if impl == "df64":
+        return _pdf.eval_rectilinear(grids, vals, obs, "linear")
     if impl == "pallas":
         return _pv3.eval_rectilinear(
             grids, vals, obs, "linear", True, _pallas_passes()
@@ -183,6 +200,11 @@ def cubic_regular(
 ):
     vf = _resolve_finite(vals, vals_finite)
     impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic")
+    if impl == "df64":
+        return _pdf.eval_regular(
+            dims, starts, steps, vals, obs, "cubic",
+            bool(linearize_extrapolation),
+        )
     if impl == "pallas":
         return _pv3.eval_regular(
             dims, starts, steps, vals, obs, "cubic",
@@ -201,6 +223,10 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     impl = _impl(
         vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", rect=True
     )
+    if impl == "df64":
+        return _pdf.eval_rectilinear(
+            grids, vals, obs, "cubic", bool(linearize_extrapolation)
+        )
     if impl == "pallas":
         return _pv3.eval_rectilinear(
             grids, vals, obs, "cubic",

@@ -38,7 +38,10 @@ def device_timeit(kernel, obs_sets, *, reps: int | None = None) -> float:
     def run(stack):
         def body(acc, ob):
             out = kernel(tuple(ob))
-            return acc + out[0] + out[-1], None
+            # FULL reduction, not out[0] + out[-1]: a sliced reduction lets
+            # XLA push the slice through elementwise paths and dead-code
+            # eliminate virtually all of the work being timed.
+            return acc + jnp.sum(out), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), stack.dtype), stack)
         return acc

@@ -218,3 +218,24 @@ def test_eval_jax_device_path():
     out = m.eval_jax(obs)
     assert isinstance(out, jax.Array)
     np.testing.assert_allclose(np.asarray(out), np.asarray(obs[0]) * 3.0, atol=1e-12)
+
+
+def test_eval_jax_first_call_under_jit_does_not_poison_cache():
+    """A user's first eval_jax call may happen inside their own jit; the
+    device-constant cache must not capture trace-local tracers (doing so
+    made every subsequent call raise UnexpectedTracerError)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.linspace(0.0, 4.0, 5)
+    m = it.MultilinearRegular.new([5], np.zeros(1), np.ones(1), 2.0 * x)
+    obs = (jnp.asarray([1.5, 2.5]),)
+
+    @jax.jit
+    def f(ob):
+        return m.eval_jax(ob)
+
+    np.testing.assert_allclose(np.asarray(f(obs)), [3.0, 5.0])
+    # eager call afterwards must work and may now populate the cache
+    np.testing.assert_allclose(np.asarray(m.eval_jax(obs)), [3.0, 5.0])
+    np.testing.assert_allclose(np.asarray(f(obs)), [3.0, 5.0])
