@@ -92,9 +92,14 @@ def interpn(
     Returns:
         Interpolated values, shaped like `out` (or obs[0]).
     """
-    out = out if out is not None else np.zeros_like(obs[0])
-    outshape = out.shape
-    out = out.ravel()
+    user_out = out if out is not None else np.zeros_like(obs[0])
+    outshape = user_out.shape
+    out = user_out.ravel()
+    # ravel() of a non-contiguous array returns a COPY; the reference
+    # silently decouples from the caller's buffer in that case. Keep the
+    # in-place contract instead: compute into the flat view/copy, then fold
+    # results back into the caller's array before returning it.
+    out_is_view = out.base is not None or out is user_out
 
     obs = [np.ascontiguousarray(np.asarray(x).ravel()) for x in obs]
     grids = [np.ascontiguousarray(np.asarray(x).ravel()) for x in grids]
@@ -170,6 +175,9 @@ def interpn(
                 f" {dtype}, {is_regular}, {method}"
             )
 
+    if not out_is_view:
+        np.copyto(user_out, out.reshape(outshape))
+        return user_out
     return out.reshape(outshape)
 
 

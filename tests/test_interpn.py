@@ -90,3 +90,18 @@ def test_empty_observation_batch():
     m = it.MultilinearRegular.new([5], np.zeros(1), np.full(1, 0.25), vals)
     r = m.eval(empty)
     assert r.shape == (0,)
+
+
+def test_interpn_noncontiguous_out_is_filled():
+    """ravel() of a non-contiguous `out` returns a copy; interpn must fold
+    results back into the caller's buffer instead of silently decoupling
+    (the reference has this flaw; we keep the in-place contract)."""
+    x = np.linspace(0.0, 4.0, 5)
+    vals = 2.0 * x
+    big = np.zeros((3, 4))
+    out = big[:, 1]  # non-contiguous column view
+    obs = [np.array([1.0, 2.5, 3.0])]
+    res = interpn(obs, [x], vals, method="linear", out=out)
+    np.testing.assert_allclose(out, [2.0, 5.0, 6.0])
+    np.testing.assert_allclose(big[:, 1], [2.0, 5.0, 6.0])
+    assert res is out
