@@ -106,17 +106,31 @@ def sharded_evaluator(
     output keeps that sharding. Grid arrays are replicated by constraint.
     """
     kernel = _METHODS[(method, regular)]
-    rep = replicated(mesh)
-    shd = obs_sharding(mesh)
 
     @partial(jax.jit, static_argnames=("dims",))
     def f(grid_arrays, vals, obs, dims=None):
-        grid_arrays = tuple(
-            jax.lax.with_sharding_constraint(g, rep) for g in grid_arrays
+        # shard_map, not GSPMD auto-partitioning: the fused Pallas engines
+        # lower to custom calls that GSPMD cannot partition — under plain
+        # jit it would all-gather the queries and run the full batch on
+        # EVERY chip. shard_map runs the kernel per device on its local
+        # query shard against the replicated grid, so zero collectives is
+        # guaranteed by construction for every engine.
+        def local(grid_arrays, vals, obs):
+            return kernel(dims, grid_arrays, vals, obs, linearize_extrapolation)
+
+        sm = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                tuple(P() for _ in grid_arrays),
+                P(),
+                tuple(P(OBS_AXIS) for _ in obs),
+            ),
+            out_specs=P(OBS_AXIS),
+            # pallas_call outputs don't carry varying-mesh-axis metadata;
+            # the body is collective-free by design, so skip the vma check
+            check_vma=False,
         )
-        vals = jax.lax.with_sharding_constraint(vals, rep)
-        obs = tuple(jax.lax.with_sharding_constraint(x, shd) for x in obs)
-        out = kernel(dims, grid_arrays, vals, obs, linearize_extrapolation)
-        return jax.lax.with_sharding_constraint(out, shd)
+        return sm(tuple(grid_arrays), vals, tuple(obs))
 
     return f
