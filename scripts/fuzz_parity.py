@@ -1,9 +1,11 @@
 """Randomized cross-engine parity fuzzer.
 
 Generates random (method x grid-kind x dtype x ndims) configurations with
-queries spanning every saturation region and checks that the native C++
-engine, the JAX gather engine, and (f32/f64) the factorized engine agree with
-each other and with the loop-based numpy oracle.
+queries spanning every saturation region and checks that ALL engines agree
+with each other and with the loop-based numpy oracle: the native C++
+engine, the JAX gather engine, the factorized engine (both grid kinds),
+the fused Pallas v3 engine (f32, interpret mode on CPU, exact passes), and
+the double-float Pallas engine (f64, interpret mode).
 
 Run: python scripts/fuzz_parity.py [--rounds 50] [--seed 0]
 Exit code != 0 on the first disagreement, printing a full repro.
@@ -31,8 +33,22 @@ from interpn_tpu.ops import cubic as jcubic
 from interpn_tpu.ops import factorized as fz
 from interpn_tpu.ops import linear as jlinear
 from interpn_tpu.ops import nearest as jnearest
+from interpn_tpu.ops import pallas_df64 as pdf
+from interpn_tpu.ops import pallas_v3 as pv3
 
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# Pallas kernels run in interpret mode on the CPU backend.
+_orig_pallas_call = pl.pallas_call
+
+
+def _interp_call(*args, **kwargs):
+    kwargs.setdefault("interpret", True)
+    return _orig_pallas_call(*args, **kwargs)
+
+
+pl.pallas_call = _interp_call
 
 
 def run_round(rng: np.random.Generator, idx: int) -> None:
@@ -108,13 +124,20 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
                 "nearest": lambda: jnearest.nearest_regular(dims_t, sj, stj, vj, oj),
             }[method]()
         )
-        if method != "nearest" or True:
-            engines["factorized"] = np.asarray(
-                {
-                    "linear": lambda: fz.linear_regular_factorized(dims_t, sj, stj, vj, oj),
-                    "cubic": lambda: fz.cubic_regular_factorized(dims_t, sj, stj, vj, oj, linearize),
-                    "nearest": lambda: fz.nearest_regular_factorized(dims_t, sj, stj, vj, oj),
-                }[method]()
+        engines["factorized"] = np.asarray(
+            {
+                "linear": lambda: fz.linear_regular_factorized(dims_t, sj, stj, vj, oj),
+                "cubic": lambda: fz.cubic_regular_factorized(dims_t, sj, stj, vj, oj, linearize),
+                "nearest": lambda: fz.nearest_regular_factorized(dims_t, sj, stj, vj, oj),
+            }[method]()
+        )
+        if dtype == np.float32 and pv3.supported(dims_t, jnp.float32, method):
+            engines["pallas_v3"] = np.asarray(
+                pv3.eval_regular(dims_t, sj, stj, vj, oj, method, linearize, 6)
+            )
+        if dtype == np.float64 and pdf.supported(dims_t, method):
+            engines["pallas_df64"] = np.asarray(
+                pdf.eval_regular(dims_t, sj, stj, vj, oj, method, linearize)
             )
     else:
         engines["gather"] = np.asarray(
@@ -124,6 +147,21 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
                 "nearest": lambda: jnearest.nearest_rectilinear(gj, vj, oj),
             }[method]()
         )
+        engines["factorized"] = np.asarray(
+            {
+                "linear": lambda: fz.linear_rectilinear_factorized(gj, vj, oj),
+                "cubic": lambda: fz.cubic_rectilinear_factorized(gj, vj, oj, linearize),
+                "nearest": lambda: fz.nearest_rectilinear_factorized(gj, vj, oj),
+            }[method]()
+        )
+        if dtype == np.float32 and pv3.supported(dims_t, jnp.float32, method):
+            engines["pallas_v3"] = np.asarray(
+                pv3.eval_rectilinear(gj, vj, oj, method, linearize, 6)
+            )
+        if dtype == np.float64 and pdf.supported(dims_t, method):
+            engines["pallas_df64"] = np.asarray(
+                pdf.eval_rectilinear(gj, vj, oj, method, linearize)
+            )
 
     # oracle (f64 only: loop-based reference semantics)
     if dtype == np.float64:
