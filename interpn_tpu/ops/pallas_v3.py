@@ -173,6 +173,41 @@ def _choose_group(dims) -> int:
     return best_g
 
 
+def _choose_split(dims, footprint: int):
+    """Virtual split of the boundary (last lead) axis to cut MXU padding.
+
+    pad(lead) * pad(K) is the real per-pass MXU volume whatever the true
+    sizes; a 20^3 grid contracts as (400, 20) -> padded 512 x 128, an 8.2x
+    waste. Splitting the boundary axis d_m = sa * ta moves `ta` into the
+    trailing contraction: 20^3 becomes lead' = 20*5 = 100, K' = 4*20 = 80 —
+    padded 128 x 128. The boundary axis's stencil run (footprint wide, ta >=
+    footprint) spans at most TWO virtual outer rows, so its weight matrix is
+    EXACTLY rank-2 over (outer, inner): the contraction runs as two passes
+    (one per outer row of the run) and sums — rank-1 (one pass) for nearest.
+
+    Returns (group, sa, ta) with sa/ta = None when no split pays >= 1.3x.
+    """
+    ndims = len(dims)
+    group = _choose_group(dims)
+    m = ndims - group - 1
+    if m < 0:
+        return group, None, None
+    lead = math.prod(dims[: ndims - group])
+    k = math.prod(dims[ndims - group:])
+    dm = dims[m]
+    base = _pad(lead) * _pad(k)
+    npass = 1 if footprint == 1 else 2
+    best = (None, None, None)
+    for ta in range(max(footprint, 2), dm):
+        if dm % ta:
+            continue
+        sa = dm // ta
+        vol = npass * _pad(lead // dm * sa) * _pad(ta * k)
+        if base / vol >= 1.3 and (best[0] is None or vol < best[0]):
+            best = (vol, sa, ta)
+    return group, best[1], best[2]
+
+
 def _nearest_axis_weights(x, start, step, dim):
     """(loc, [1.0]) one-hot selection for one axis (dt <= 0.5 -> lower)."""
     floc = jnp.floor((x - start) / step)
@@ -291,15 +326,115 @@ def _make_kernel(dims, method: str, linearize: bool, tq: int, passes: int):
     return kernel
 
 
+def _make_kernel_split(
+    dims, method: str, linearize: bool, tq: int, passes: int,
+    group: int, sa: int, ta: int,
+):
+    """Two-pass (rank-2) variant of _make_kernel with the boundary axis
+    virtually split (see _choose_split). Pass i uses the run's i-th virtual
+    outer row: inner weights R_i fold into the MXU contraction, the one-hot
+    outer selection A_i drives the first tail stage."""
+    ndims = len(dims)
+    m = ndims - group - 1
+    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
+    npass = 1 if footprint == 1 else 2
+    k_old = math.prod(dims[ndims - group:])
+    lead_rest = math.prod(dims[:m])  # axes before the split one
+    exact = passes >= 6
+
+    def kernel(starts_ref, steps_ref, obs_ref, *refs):
+        out_ref = refs[-1]
+        per_axis = []
+        for k in range(ndims):
+            x = obs_ref[k, :].reshape(1, tq)
+            per_axis.append(
+                _axis_weights(
+                    x, starts_ref[0, k], steps_ref[0, k], dims[k], method, linearize
+                )
+            )
+
+        # Shared trailing product over the (unsplit) grouped axes.
+        loc, ws = per_axis[ndims - 1]
+        wt = _weight_mat(tq, dims[ndims - 1], loc, ws)
+        width = dims[ndims - 1]
+        for k in range(ndims - 2, m, -1):
+            loc, ws = per_axis[k]
+            wa = _weight_mat(tq, dims[k], loc, ws)
+            wt = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wt, dims[k], axis=0)
+            width *= dims[k]
+
+        # Split-axis pieces: run starts at loc_m = a0 * ta + shift.
+        loc_m, ws_m = per_axis[m]
+        a0 = loc_m // ta
+        shift = loc_m - a0 * ta
+        iota_t = jax.lax.broadcasted_iota(_I32, (ta, tq), 0)
+        iota_s = jax.lax.broadcasted_iota(_I32, (sa, tq), 0)
+
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+        acc = None
+        for i in range(npass):
+            ri = jnp.zeros((ta, tq), jnp.float32)
+            for j, wj in enumerate(ws_m):
+                pos = shift + j - i * ta
+                ri = ri + jnp.where(iota_t == pos, wj.reshape(1, tq), 0.0)
+            wk = jnp.repeat(ri, k_old, axis=0) * pltpu.repeat(wt, ta, axis=0)
+
+            if exact:
+                t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
+            else:
+                vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
+                whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
+                t = dot(vhi_ref[:, :], whi)
+                t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
+                if passes >= 4:
+                    t = t + dot(vlo_ref[:, :], wlo)
+                t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
+
+            # reduce the virtual outer axis with the pass's one-hot row
+            ai = jnp.where(iota_s == a0 + i, 1.0, 0.0)
+            t = t * pltpu.repeat(ai, max(lead_rest, 1), axis=0)
+            t = t.reshape(max(lead_rest, 1), sa, tq).sum(axis=1)
+            acc = t if acc is None else acc + t
+
+        # Remaining lead axes (before the split axis), innermost first.
+        t = acc
+        lead = lead_rest
+        for k in range(m - 1, 0, -1):
+            lead //= dims[k]
+            loc, ws = per_axis[k]
+            wm = _weight_mat(tq, dims[k], loc, ws)
+            t = t * pltpu.repeat(wm, lead, axis=0)
+            t = t.reshape(lead, dims[k], tq).sum(axis=1)
+
+        if m == 0:
+            out_ref[0, :] = t.reshape(1, tq)[0, :]
+            return
+        loc, ws = per_axis[0]
+        w0 = _weight_mat(tq, dims[0], loc, ws)
+        out_ref[0, :] = jnp.sum(t * w0, axis=0)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _pallas_v3(dims, starts, steps, vals, method, linearize, passes, obs_mat):
     ndims = len(dims)
-    group = _choose_group(dims)
+    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
+    group, sa, ta = _choose_split(dims, footprint)
     ksize = math.prod(dims[ndims - group:])
     lead = math.prod(dims[: ndims - group])
+    if sa is not None:
+        m = ndims - group - 1
+        lead = lead // dims[m] * sa
+        ksize = ksize * ta
     tq = _tile_q(max(lead, ksize))
     n = obs_mat.shape[1]
-    kernel = _make_kernel(dims, method, linearize, tq, passes)
+    if sa is not None:
+        kernel = _make_kernel_split(
+            dims, method, linearize, tq, passes, group, sa, ta
+        )
+    else:
+        kernel = _make_kernel(dims, method, linearize, tq, passes)
     v2 = vals.reshape(max(lead, 1), ksize).astype(jnp.float32)
     if passes >= 6:
         tables = (v2,)
@@ -377,9 +512,13 @@ def eval_regular(
         passes = 6  # one-hot selection must reproduce grid values exactly
     n = obs[0].shape[0]
     ndims = len(dims)
-    group = _choose_group(dims)
+    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
+    group, sa, ta = _choose_split(dims, footprint)
     ksize = math.prod(dims[ndims - group:])
     lead = math.prod(dims[: ndims - group])
+    if sa is not None:
+        lead = lead // dims[ndims - group - 1] * sa
+        ksize = ksize * ta
     tq = _tile_q(max(lead, ksize))
     n_pad = ((n + tq - 1) // tq) * tq
     obs_mat = jnp.stack(

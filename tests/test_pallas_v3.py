@@ -153,3 +153,29 @@ def test_v3_rect_nearest_matches_gather():
     a = v3.eval_rectilinear(grids, vals, obs, "nearest", True)
     b = ops.nearest.nearest_rectilinear(grids, vals, obs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v3_virtual_split_path():
+    """20^3 triggers the virtual boundary-axis split (rank-2 two-pass
+    contraction, see _choose_split); results must match the gather tree for
+    all methods, including runs that wrap a virtual row boundary."""
+    dims = (20, 20, 20)
+    g, sa, ta = v3._choose_split(dims, 4)
+    assert sa is not None and sa * ta == 20 and ta >= 4
+    starts, steps, vals, obs = _case(dims, seed=11)
+    for method, ref_fn, tol in [
+        ("linear", lambda: ops.linear.linear_regular(dims, starts, steps, vals, obs),
+         dict(rtol=1e-4, atol=1e-4)),
+        ("cubic", lambda: ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True),
+         dict(rtol=1e-4, atol=1e-4)),
+    ]:
+        a = v3.eval_regular(dims, starts, steps, vals, obs, method, True, 6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref_fn()), **tol)
+        a4 = v3.eval_regular(dims, starts, steps, vals, obs, method, True, 4)
+        np.testing.assert_allclose(
+            np.asarray(a4), np.asarray(ref_fn()), rtol=2e-3, atol=5e-3
+        )
+    # nearest: rank-1 (single pass), must stay bit-exact
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
+    b = ops.nearest.nearest_regular(dims, starts, steps, vals, obs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
