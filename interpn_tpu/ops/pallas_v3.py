@@ -250,9 +250,15 @@ def _weight_mat(tq, dim, loc, ws):
     return w
 
 
-def _make_kernel(dims, method: str, linearize: bool, tq: int, passes: int):
-    """passes: 3 = drop the lo*lo product, 4 = full bf16x2 product, 6 =
-    single f32 dot at Precision.HIGHEST on the unsplit table (the default:
+_FOOTPRINT = {"linear": 2, "nearest": 1, "cubic": 4}
+
+
+def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
+                  rect: bool):
+    """One kernel builder for both grid kinds and both contraction layouts.
+
+    passes: 3 = drop the lo*lo product, 4 = full bf16x2 product, 6 = single
+    f32 dot at Precision.HIGHEST on the unsplit table (the default:
     f32-exact products; also required for `nearest`, whose one-hot weights
     must reproduce grid values bit-for-bit).
 
@@ -262,98 +268,45 @@ def _make_kernel(dims, method: str, linearize: bool, tq: int, passes: int):
     c_r * sum(W) in exact f32. The split-product error then scales with the
     LOCAL variation of the data along the grouped axes, not its absolute
     magnitude — a globally-offset table (temperatures ~300 K) costs nothing.
+
+    When _choose_split elects a virtual boundary-axis split, the boundary
+    axis's stencil run spans at most two virtual outer rows, so its weight
+    matrix is exactly rank-2 over (outer, inner): the contraction runs one
+    pass per outer row (rank-1 / one pass for nearest) with the inner
+    weights folded into the MXU stage and a one-hot outer selection driving
+    the first tail stage.
     """
     ndims = len(dims)
-    group = _choose_group(dims)
-    lead_total = math.prod(dims[: ndims - group])
-    exact = passes >= 6
-
-    def kernel(starts_ref, steps_ref, obs_ref, *refs):
-        # obs_ref: (ndims, tq); out: (1, tq)
-        # refs: (v_ref, out_ref) in exact mode, else
-        #       (vhi_ref, vlo_ref, c_ref, out_ref) with c the row means
-        out_ref = refs[-1]
-        per_axis = []
-        for k in range(ndims):
-            x = obs_ref[k, :].reshape(1, tq)
-            per_axis.append(
-                _axis_weights(
-                    x, starts_ref[0, k], steps_ref[0, k], dims[k], method, linearize
-                )
-            )
-
-        # Combined trailing-axes weight matrix (K, tq), built right-to-left:
-        # flat trailing index j = i_k * width + j'.
-        loc, ws = per_axis[ndims - 1]
-        wk = _weight_mat(tq, dims[ndims - 1], loc, ws)
-        width = dims[ndims - 1]
-        for k in range(ndims - 2, ndims - group - 1, -1):
-            loc, ws = per_axis[k]
-            wa = _weight_mat(tq, dims[k], loc, ws)
-            wk = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wk, dims[k], axis=0)
-            width *= dims[k]
-
-        # MXU stage: T (lead_total, tq) = V2 @ W.
-        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-        if exact:
-            t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
-        else:
-            vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
-            whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
-            t = dot(vhi_ref[:, :], whi)
-            t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
-            if passes >= 4:
-                t = t + dot(vlo_ref[:, :], wlo)
-            # restore the row centers: c_r * sum_k W[k, q], exact f32
-            t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
-
-        # Tail: segment-sum one leading axis at a time (innermost first).
-        if ndims - group == 0:
-            out_ref[0, :] = t.reshape(1, tq)[0, :]
-            return
-        lead = lead_total
-        for k in range(ndims - group - 1, 0, -1):
-            lead //= dims[k]
-            loc, ws = per_axis[k]
-            wm = _weight_mat(tq, dims[k], loc, ws)
-            t = t * pltpu.repeat(wm, lead, axis=0)
-            t = t.reshape(lead, dims[k], tq).sum(axis=1)
-
-        loc, ws = per_axis[0]
-        w0 = _weight_mat(tq, dims[0], loc, ws)
-        out_ref[0, :] = jnp.sum(t * w0, axis=0)
-
-    return kernel
-
-
-def _make_kernel_split(
-    dims, method: str, linearize: bool, tq: int, passes: int,
-    group: int, sa: int, ta: int,
-):
-    """Two-pass (rank-2) variant of _make_kernel with the boundary axis
-    virtually split (see _choose_split). Pass i uses the run's i-th virtual
-    outer row: inner weights R_i fold into the MXU contraction, the one-hot
-    outer selection A_i drives the first tail stage."""
-    ndims = len(dims)
-    m = ndims - group - 1
-    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
-    npass = 1 if footprint == 1 else 2
+    footprint = _FOOTPRINT[method]
+    group, sa, ta = _choose_split(dims, footprint)
+    m = ndims - group - 1  # boundary (last lead) axis
+    split = sa is not None
+    npass = (1 if footprint == 1 else 2) if split else 1
     k_old = math.prod(dims[ndims - group:])
-    lead_rest = math.prod(dims[:m])  # axes before the split one
     exact = passes >= 6
 
-    def kernel(starts_ref, steps_ref, obs_ref, *refs):
-        out_ref = refs[-1]
-        per_axis = []
-        for k in range(ndims):
-            x = obs_ref[k, :].reshape(1, tq)
-            per_axis.append(
-                _axis_weights(
+    def kernel(*args):
+        if rect:
+            gridsT_ref, obs_ref, *refs = args
+
+            def axw(k):
+                x = obs_ref[k, :].reshape(1, tq)
+                gcol = gridsT_ref[: dims[k], k].reshape(dims[k], 1)
+                return _rect_axis_weights(x, gcol, dims[k], method, linearize, tq)
+        else:
+            starts_ref, steps_ref, obs_ref, *refs = args
+
+            def axw(k):
+                x = obs_ref[k, :].reshape(1, tq)
+                return _axis_weights(
                     x, starts_ref[0, k], steps_ref[0, k], dims[k], method, linearize
                 )
-            )
 
-        # Shared trailing product over the (unsplit) grouped axes.
+        out_ref = refs[-1]
+        per_axis = [axw(k) for k in range(ndims)]
+
+        # Combined trailing-axes weight matrix (k_old, tq), right-to-left:
+        # flat trailing index j = i_k * width + j'.
         loc, ws = per_axis[ndims - 1]
         wt = _weight_mat(tq, dims[ndims - 1], loc, ws)
         width = dims[ndims - 1]
@@ -363,50 +316,59 @@ def _make_kernel_split(
             wt = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wt, dims[k], axis=0)
             width *= dims[k]
 
-        # Split-axis pieces: run starts at loc_m = a0 * ta + shift.
-        loc_m, ws_m = per_axis[m]
-        a0 = loc_m // ta
-        shift = loc_m - a0 * ta
-        iota_t = jax.lax.broadcasted_iota(_I32, (ta, tq), 0)
-        iota_s = jax.lax.broadcasted_iota(_I32, (sa, tq), 0)
-
         dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-        acc = None
-        for i in range(npass):
-            ri = jnp.zeros((ta, tq), jnp.float32)
-            for j, wj in enumerate(ws_m):
-                pos = shift + j - i * ta
-                ri = ri + jnp.where(iota_t == pos, wj.reshape(1, tq), 0.0)
-            wk = jnp.repeat(ri, k_old, axis=0) * pltpu.repeat(wt, ta, axis=0)
 
+        def mxu(wk):
             if exact:
-                t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
-            else:
-                vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
-                whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
-                t = dot(vhi_ref[:, :], whi)
-                t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
-                if passes >= 4:
-                    t = t + dot(vlo_ref[:, :], wlo)
-                t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
+                return dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
+            vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
+            whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
+            t = dot(vhi_ref[:, :], whi)
+            t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
+            if passes >= 4:
+                t = t + dot(vlo_ref[:, :], wlo)
+            # restore the row centers: c_r * sum_k W[k, q], exact f32
+            return t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
 
-            # reduce the virtual outer axis with the pass's one-hot row
-            ai = jnp.where(iota_s == a0 + i, 1.0, 0.0)
-            t = t * pltpu.repeat(ai, max(lead_rest, 1), axis=0)
-            t = t.reshape(max(lead_rest, 1), sa, tq).sum(axis=1)
-            acc = t if acc is None else acc + t
+        if split:
+            # virtual split: run starts at loc_m = a0 * ta + shift
+            loc_m, ws_m = per_axis[m]
+            a0 = loc_m // ta
+            shift = loc_m - a0 * ta
+            iota_t = jax.lax.broadcasted_iota(_I32, (ta, tq), 0)
+            iota_s = jax.lax.broadcasted_iota(_I32, (sa, tq), 0)
+            lead = math.prod(dims[:m])
+            acc = None
+            for i in range(npass):
+                ri = jnp.zeros((ta, tq), jnp.float32)
+                for j, wj in enumerate(ws_m):
+                    pos = shift + j - i * ta
+                    ri = ri + jnp.where(iota_t == pos, wj.reshape(1, tq), 0.0)
+                wk = jnp.repeat(ri, k_old, axis=0) * pltpu.repeat(wt, ta, axis=0)
+                t = mxu(wk)
+                # reduce the virtual outer axis with this pass's one-hot row
+                ai = jnp.where(iota_s == a0 + i, 1.0, 0.0)
+                t = t * pltpu.repeat(ai, max(lead, 1), axis=0)
+                t = t.reshape(max(lead, 1), sa, tq).sum(axis=1)
+                acc = t if acc is None else acc + t
+            t = acc
+            next_axis = m - 1
+        else:
+            t = mxu(wt)
+            lead = math.prod(dims[: ndims - group])
+            next_axis = m
 
-        # Remaining lead axes (before the split axis), innermost first.
-        t = acc
-        lead = lead_rest
-        for k in range(m - 1, 0, -1):
+        # Remaining lead axes, innermost first; axis 0 reduces to the output.
+        if next_axis < 0:
+            out_ref[0, :] = t.reshape(1, tq)[0, :]
+            return
+        for k in range(next_axis, 0, -1):
             lead //= dims[k]
             loc, ws = per_axis[k]
             wm = _weight_mat(tq, dims[k], loc, ws)
             t = t * pltpu.repeat(wm, lead, axis=0)
             t = t.reshape(lead, dims[k], tq).sum(axis=1)
-
-        if m == 0:
+        if split and m == 0:
             out_ref[0, :] = t.reshape(1, tq)[0, :]
             return
         loc, ws = per_axis[0]
@@ -416,55 +378,52 @@ def _make_kernel_split(
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def _pallas_v3(dims, starts, steps, vals, method, linearize, passes, obs_mat):
+def _table_shape(dims, method: str):
+    """(lead, ksize) the value table reshapes to, after grouping + split."""
     ndims = len(dims)
-    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
-    group, sa, ta = _choose_split(dims, footprint)
+    group, sa, ta = _choose_split(dims, _FOOTPRINT[method])
     ksize = math.prod(dims[ndims - group:])
     lead = math.prod(dims[: ndims - group])
     if sa is not None:
-        m = ndims - group - 1
-        lead = lead // dims[m] * sa
+        lead = lead // dims[ndims - group - 1] * sa
         ksize = ksize * ta
+    return max(lead, 1), ksize
+
+
+def _tables_and_specs(v2, lead: int, ksize: int, passes: int):
+    """VMEM-resident value table(s): one f32 table in exact mode, else two
+    bf16 mantissa-split copies of the ROW-CENTERED table plus the centers."""
+    table_spec = pl.BlockSpec(
+        (lead, ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    if passes >= 6:
+        return (v2,), [table_spec]
+    c = jnp.mean(v2, axis=1, keepdims=True)
+    v2c = v2 - c
+    u = jax.lax.bitcast_convert_type(v2c, jnp.uint32)
+    vhi_f32 = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    tables = (
+        vhi_f32.astype(jnp.bfloat16),
+        (v2c - vhi_f32).astype(jnp.bfloat16),
+        c,
+    )
+    specs = [
+        table_spec,
+        table_spec,
+        pl.BlockSpec((lead, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return tables, specs
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _pallas_v3(dims, starts, steps, vals, method, linearize, passes, obs_mat):
+    ndims = len(dims)
+    lead, ksize = _table_shape(dims, method)
     tq = _tile_q(max(lead, ksize))
     n = obs_mat.shape[1]
-    if sa is not None:
-        kernel = _make_kernel_split(
-            dims, method, linearize, tq, passes, group, sa, ta
-        )
-    else:
-        kernel = _make_kernel(dims, method, linearize, tq, passes)
-    v2 = vals.reshape(max(lead, 1), ksize).astype(jnp.float32)
-    if passes >= 6:
-        tables = (v2,)
-        specs = [
-            pl.BlockSpec(
-                (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
-            )
-        ]
-    else:
-        c = jnp.mean(v2, axis=1, keepdims=True)
-        v2c = v2 - c
-        u = jax.lax.bitcast_convert_type(v2c, jnp.uint32)
-        vhi_f32 = jax.lax.bitcast_convert_type(
-            u & jnp.uint32(0xFFFF0000), jnp.float32
-        )
-        tables = (
-            vhi_f32.astype(jnp.bfloat16),
-            (v2c - vhi_f32).astype(jnp.bfloat16),
-            c,
-        )
-        table_spec = pl.BlockSpec(
-            (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        specs = [
-            table_spec,
-            table_spec,
-            pl.BlockSpec(
-                (max(lead, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ]
+    kernel = _build_kernel(dims, method, linearize, tq, passes, rect=False)
+    v2 = vals.reshape(lead, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, lead, ksize, passes)
     starts2d = starts.reshape(1, ndims).astype(jnp.float32)
     steps2d = steps.reshape(1, ndims).astype(jnp.float32)
     # Large tables + the (lead, tq) contraction tile can exceed the default
@@ -511,14 +470,7 @@ def eval_regular(
     if method == "nearest":
         passes = 6  # one-hot selection must reproduce grid values exactly
     n = obs[0].shape[0]
-    ndims = len(dims)
-    footprint = {"linear": 2, "nearest": 1, "cubic": 4}[method]
-    group, sa, ta = _choose_split(dims, footprint)
-    ksize = math.prod(dims[ndims - group:])
-    lead = math.prod(dims[: ndims - group])
-    if sa is not None:
-        lead = lead // dims[ndims - group - 1] * sa
-        ksize = ksize * ta
+    lead, ksize = _table_shape(tuple(dims), method)
     tq = _tile_q(max(lead, ksize))
     n_pad = ((n + tq - 1) // tq) * tq
     obs_mat = jnp.stack(
@@ -584,99 +536,15 @@ def _rect_axis_weights(x, gcol, dim: int, method: str, linearize: bool, tq: int)
     return loc, ws
 
 
-def _make_kernel_rect(dims, method: str, linearize: bool, tq: int, passes: int):
-    """Rectilinear twin of _make_kernel; gridsT replaces starts/steps."""
-    ndims = len(dims)
-    group = _choose_group(dims)
-    lead_total = math.prod(dims[: ndims - group])
-    exact = passes >= 6
-
-    def kernel(gridsT_ref, obs_ref, *refs):
-        # gridsT_ref: (dmax, ndims); obs_ref: (ndims, tq); out: (1, tq)
-        out_ref = refs[-1]
-        per_axis = []
-        for k in range(ndims):
-            x = obs_ref[k, :].reshape(1, tq)
-            gcol = gridsT_ref[: dims[k], k].reshape(dims[k], 1)
-            per_axis.append(
-                _rect_axis_weights(x, gcol, dims[k], method, linearize, tq)
-            )
-
-        loc, ws = per_axis[ndims - 1]
-        wk = _weight_mat(tq, dims[ndims - 1], loc, ws)
-        width = dims[ndims - 1]
-        for k in range(ndims - 2, ndims - group - 1, -1):
-            loc, ws = per_axis[k]
-            wa = _weight_mat(tq, dims[k], loc, ws)
-            wk = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wk, dims[k], axis=0)
-            width *= dims[k]
-
-        dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-        if exact:
-            t = dot(refs[0][:, :], wk, precision=jax.lax.Precision.HIGHEST)
-        else:
-            vhi_ref, vlo_ref, c_ref = refs[0], refs[1], refs[2]
-            whi, wlo = _split_hi_lo(wk, pltpu.bitcast)
-            t = dot(vhi_ref[:, :], whi)
-            t = t + (dot(vhi_ref[:, :], wlo) + dot(vlo_ref[:, :], whi))
-            if passes >= 4:
-                t = t + dot(vlo_ref[:, :], wlo)
-            t = t + c_ref[:, :] * jnp.sum(wk, axis=0, keepdims=True)
-
-        lead = lead_total
-        for k in range(ndims - group - 1, 0, -1):
-            lead //= dims[k]
-            loc, ws = per_axis[k]
-            wm = _weight_mat(tq, dims[k], loc, ws)
-            t = t * pltpu.repeat(wm, lead, axis=0)
-            t = t.reshape(lead, dims[k], tq).sum(axis=1)
-
-        loc, ws = per_axis[0]
-        w0 = _weight_mat(tq, dims[0], loc, ws)
-        out_ref[0, :] = jnp.sum(t * w0, axis=0)
-
-    return kernel
-
-
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _pallas_v3_rect(dims, gridsT, vals, obs_mat, method, linearize, passes):
     ndims = len(dims)
-    group = _choose_group(dims)
-    ksize = math.prod(dims[ndims - group:])
-    lead = math.prod(dims[: ndims - group])
+    lead, ksize = _table_shape(dims, method)
     tq = _tile_q(max(lead, ksize))
     n = obs_mat.shape[1]
-    kernel = _make_kernel_rect(dims, method, linearize, tq, passes)
-    v2 = vals.reshape(max(lead, 1), ksize).astype(jnp.float32)
-    if passes >= 6:
-        tables = (v2,)
-        specs = [
-            pl.BlockSpec(
-                (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
-            )
-        ]
-    else:
-        c = jnp.mean(v2, axis=1, keepdims=True)
-        v2c = v2 - c
-        u = jax.lax.bitcast_convert_type(v2c, jnp.uint32)
-        vhi_f32 = jax.lax.bitcast_convert_type(
-            u & jnp.uint32(0xFFFF0000), jnp.float32
-        )
-        tables = (
-            vhi_f32.astype(jnp.bfloat16),
-            (v2c - vhi_f32).astype(jnp.bfloat16),
-            c,
-        )
-        table_spec = pl.BlockSpec(
-            (max(lead, 1), ksize), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        specs = [
-            table_spec,
-            table_spec,
-            pl.BlockSpec(
-                (max(lead, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ]
+    kernel = _build_kernel(dims, method, linearize, tq, passes, rect=True)
+    v2 = vals.reshape(lead, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, lead, ksize, passes)
     dmax = gridsT.shape[0]
     need = (
         lead * _pad(ksize) * 4
@@ -724,9 +592,7 @@ def eval_rectilinear(
         for k, g in enumerate(grids)
     ]
     gridsT = jnp.stack(cols, axis=1)  # (dmax, ndims)
-    group = _choose_group(dims)
-    ksize = math.prod(dims[ndims - group:])
-    lead = math.prod(dims[: ndims - group])
+    lead, ksize = _table_shape(dims, method)
     tq = _tile_q(max(lead, ksize))
     n = obs[0].shape[0]
     n_pad = ((n + tq - 1) // tq) * tq

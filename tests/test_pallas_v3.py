@@ -179,3 +179,23 @@ def test_v3_virtual_split_path():
     a = v3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
     b = ops.nearest.nearest_regular(dims, starts, steps, vals, obs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v3_rect_virtual_split_path():
+    """The rectilinear engine shares the unified kernel builder, so 20^3
+    triggers the same virtual boundary-axis split; results must match the
+    rectilinear gather tree."""
+    dims = (20, 20, 20)
+    assert v3._choose_split(dims, 4)[1] is not None
+    grids, vals, obs = _rect_case(dims, seed=13)
+    for method in ("linear", "cubic"):
+        a = v3.eval_rectilinear(grids, vals, obs, method, True, 6)
+        b = (
+            ops.linear.linear_rectilinear(grids, vals, obs)
+            if method == "linear"
+            else ops.cubic.cubic_rectilinear(grids, vals, obs, True)
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+    a = v3.eval_rectilinear(grids, vals, obs, "nearest", True)
+    b = ops.nearest.nearest_rectilinear(grids, vals, obs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
