@@ -206,8 +206,9 @@ def main():
             for dt in ("f32", "f64"):
                 q = bench_device(method, dt)
                 print(f"# tpu {method}_{dt}_3d@1M: {q/1e6:9.1f} Mq/s", file=err)
-        q4 = bench_device("cubic", "f32", ndims=4)
-        print(f"# tpu cubic_f32_4d@1M: {q4/1e6:9.1f} Mq/s", file=err)
+        for method in ("linear", "cubic"):
+            q4 = bench_device(method, "f32", ndims=4)
+            print(f"# tpu {method}_f32_4d@1M: {q4/1e6:9.1f} Mq/s", file=err)
         for method in ("linear", "cubic"):
             for n in (1, 1000):
                 q = bench_native(method, n)

@@ -122,6 +122,13 @@ def _cubic_axis_weights(x, start, step, dim, linearize: bool):
         if linearize:
             lin = jnp.where(low, v0, v3) + k1 * (tt - 1.0)
             w = jnp.where(outside, lin, w)
+        # Exact node reproduction (same contract as every other engine,
+        # ops/cubic._axis_reduce_regular): at tt == 0/1 the weight vector is
+        # the unit basis of the corresponding stencil entry, so grid nodes
+        # reproduce bit-for-bit regardless of rounding in the slope terms.
+        w0_node = y0  # tt == 0: y0 = v1 (none/low) or v2 (high)
+        w1_node = jnp.where(low, v0, jnp.where(high, v3, v2))  # tt == 1
+        w = jnp.where(tt == 0.0, w0_node, jnp.where(tt == 1.0, w1_node, w))
         ws.append(w)
     return loc, ws
 

@@ -199,3 +199,20 @@ def test_v3_rect_virtual_split_path():
     a = v3.eval_rectilinear(grids, vals, obs, "nearest", True)
     b = ops.nearest.nearest_rectilinear(grids, vals, obs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v3_cubic_exact_at_grid_nodes():
+    """Exact mode must reproduce grid values bit-for-bit at the nodes (the
+    same contract the gather, factorized and native engines keep — the
+    per-axis weight vector snaps to the unit basis at tt == 0/1)."""
+    dims = (20, 20, 20)
+    rng = np.random.default_rng(17)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))), jnp.float32)
+    starts = jnp.zeros(3, jnp.float32)
+    steps = jnp.full(3, 0.5, jnp.float32)
+    idx = rng.integers(0, 20, (3, 700))
+    obs = tuple(jnp.asarray(idx[k] * 0.5, jnp.float32) for k in range(3))
+    flat = (idx[0] * 20 + idx[1]) * 20 + idx[2]
+    expected = np.asarray(vals)[flat]
+    out = v3.eval_regular(dims, starts, steps, vals, obs, "cubic", True, 6)
+    np.testing.assert_array_equal(np.asarray(out), expected)
