@@ -46,6 +46,11 @@ from .nearest import nearest_regular as _nearest_reg_gather
 MAX_FACTORIZED_GRID = 1 << 18
 # Below this query count the call is latency-bound either way.
 MIN_FACTORIZED_QUERIES = 32_768
+# The fused Pallas engine pads to its query-tile size (>= 128), so it is
+# already efficient at much smaller batches than the XLA factorized path
+# (whose chunking/einsum overheads only amortize past ~32k); gather cubic
+# at 2 Mq/s would cost 5 ms for a 10k-query device batch.
+MIN_PALLAS_QUERIES = 1024
 # Per-method grid-size ceilings for the fused Pallas engine on REGULAR
 # grids, from measured crossovers vs the gather path on v5e (docs/perf.md):
 # the contraction pays ~2 * prod(dims) MACs per query per pass, the gather
@@ -91,17 +96,18 @@ def _impl(
     mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
     if mode == "pallas":
         # forced pallas still honors hard capability limits (dtype/ndims/
-        # VMEM/rectilinear); ineligible traces fall back to factorized
+        # VMEM); ineligible f32 traces fall back to factorized, f64 to the
+        # gather tree (an f64 einsum would hit emulated matmuls, ~400x slow)
         if dims is not None and _pv3.supported(tuple(dims), dtype, method):
             return "pallas"
-        mode = "factorized"
+        mode = "factorized" if dtype == jnp.float32 else "gather"
     if mode in ("gather", "factorized"):
         return mode
     if (
         dtype == jnp.float64
         and vals_finite
         and getattr(obs0, "ndim", 1) == 1
-        and obs0.size >= MIN_FACTORIZED_QUERIES
+        and obs0.size >= MIN_PALLAS_QUERIES
         and jax.default_backend() == "tpu"
         and dims is not None
         and _pdf.supported(tuple(dims), method)
@@ -113,7 +119,7 @@ def _impl(
         dtype == jnp.float32
         and vals_finite
         and getattr(obs0, "ndim", 1) == 1  # contraction kernels assume flat obs
-        and obs0.size >= MIN_FACTORIZED_QUERIES
+        and obs0.size >= MIN_PALLAS_QUERIES
         and jax.default_backend() == "tpu"
     ):
         cap = MAX_PALLAS_GRID_RECT if rect else MAX_PALLAS_GRID.get(method, 0)
@@ -123,7 +129,7 @@ def _impl(
             and _pv3.supported(tuple(dims), dtype, method)
         ):
             return "pallas"
-        if nvals <= MAX_FACTORIZED_GRID:
+        if nvals <= MAX_FACTORIZED_GRID and obs0.size >= MIN_FACTORIZED_QUERIES:
             return "factorized"
     return "gather"
 
