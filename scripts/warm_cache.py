@@ -38,8 +38,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1024,65536,1048576")
     ap.add_argument("--max-dims", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="CI smoke: one small size, 2 dims")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    if args.quick:
+        sizes = [1024]
+        args.max_dims = 2
 
     rng = np.random.default_rng(0)
     for dtype in (jnp.float32, jnp.float64):
