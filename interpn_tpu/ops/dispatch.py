@@ -193,7 +193,9 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
     if impl == "df64":
         return _pdf.eval_rectilinear(grids, vals, obs, "linear")
     if impl == "pallas":
-        return _pv3.eval_rectilinear(
+        # XLA-precomputed weights beat the in-kernel rectilinear locate
+        # (counts + select-sums) — measured on v5e, docs/perf.md
+        return _pv3.eval_rectilinear_pre(
             grids, vals, obs, "linear", True, _pallas_passes()
         )
     if impl == "factorized":
@@ -234,7 +236,7 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
             grids, vals, obs, "cubic", bool(linearize_extrapolation)
         )
     if impl == "pallas":
-        return _pv3.eval_rectilinear(
+        return _pv3.eval_rectilinear_pre(
             grids, vals, obs, "cubic",
             bool(linearize_extrapolation), _pallas_passes(),
         )

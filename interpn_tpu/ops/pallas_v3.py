@@ -293,7 +293,19 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
     exact = passes >= 6
 
     def kernel(*args):
-        if rect:
+        if rect == "pre":
+            # weights computed outside in XLA (see _pallas_v3_pre): the
+            # kernel only places and contracts them
+            locs_ref, w_ref, *refs = args
+
+            def axw(k):
+                loc = locs_ref[k, :].reshape(1, tq)
+                ws = [
+                    w_ref[k * footprint + j, :].reshape(1, tq)
+                    for j in range(footprint)
+                ]
+                return loc, ws
+        elif rect:
             gridsT_ref, obs_ref, *refs = args
 
             def axw(k):
@@ -609,4 +621,107 @@ def eval_rectilinear(
     out = _pallas_v3_rect(
         dims, gridsT, vals, obs_mat, method, bool(linearize), passes
     )
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-weights entry (rectilinear fast path)
+#
+# The rectilinear in-kernel weight construction pays O(d) counts plus four
+# O(d) select-sums per axis per tile; computing the locate + basis weights
+# OUTSIDE in XLA (the same searchsorted/basis helpers the factorized and
+# df64 engines use) turns that into a fused elementwise pass whose (loc, w)
+# outputs stream through HBM — ~(4 + 4*footprint) bytes/query, negligible at
+# these rates — and the kernel reduces to placement + contraction, identical
+# to the regular-grid path's cost.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals):
+    ndims = len(dims)
+    footprint = _FOOTPRINT[method]
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n = locs_mat.shape[1]
+    kernel = _build_kernel(dims, method, True, tq, passes, rect="pre")
+    v2 = vals.reshape(lead, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, lead, ksize, passes)
+    nw = ndims * footprint
+    need = (
+        lead * _pad(ksize) * 4
+        + 3 * lead * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = {}
+    if need > 12 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
+        )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        )(locs_mat, w_mat, *tables)
+    return out.reshape(n)
+
+
+def _rect_locs_weights(grids, obs, method: str, linearize: bool):
+    """Per-axis (loc, weights) in XLA f32 via the shared locate/basis
+    helpers — exactly the same math the in-kernel construction evaluates."""
+    from .cubic import _axis_reduce_rectilinear
+    from .locate import locate_rectilinear_cubic, locate_rectilinear_linear
+
+    locs, ws = [], []
+    for k, g in enumerate(grids):
+        x = obs[k].astype(jnp.float32)
+        g = g.astype(jnp.float32)
+        if method in ("linear", "nearest"):
+            loc, x0, x1 = locate_rectilinear_linear(x, g)
+            t = (x - x0) / (x1 - x0)
+            if method == "linear":
+                locs.append(loc)
+                ws.extend([1.0 - t, t])
+            else:
+                locs.append(loc + jnp.where(t <= 0.5, 0, 1).astype(loc.dtype))
+                ws.append(jnp.ones_like(t))
+        else:
+            cl, gct = locate_rectilinear_cubic(x, g)
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            locs.append(cl.loc)
+            for i in range(4):
+                e = tuple(one if j == i else zero for j in range(4))
+                ws.append(
+                    _axis_reduce_rectilinear(
+                        e, x, gct, cl.low, cl.high, cl.outside, linearize
+                    )
+                )
+    return locs, ws
+
+
+def eval_rectilinear_pre(
+    grids, vals, obs, method: str, linearize: bool, passes: int = 6
+):
+    """Rectilinear evaluation with XLA-precomputed weights (see above)."""
+    if method == "nearest":
+        passes = 6
+    dims = tuple(int(g.shape[0]) for g in grids)
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    locs, ws = _rect_locs_weights(grids, obs, method, bool(linearize))
+    pad = n_pad - n
+    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals)
     return out[:n]

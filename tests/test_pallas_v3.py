@@ -216,3 +216,17 @@ def test_v3_cubic_exact_at_grid_nodes():
     expected = np.asarray(vals)[flat]
     out = v3.eval_regular(dims, starts, steps, vals, obs, "cubic", True, 6)
     np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_v3_rect_precomputed_weights(method):
+    """The XLA-precomputed-weights rectilinear entry must match the
+    in-kernel construction (same locate/basis math, different placement)."""
+    dims = (20, 20, 20)
+    grids, vals, obs = _rect_case(dims, seed=19)
+    a = v3.eval_rectilinear_pre(grids, vals, obs, method, True, 6)
+    b = v3.eval_rectilinear(grids, vals, obs, method, True, 6)
+    if method == "nearest":
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    else:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6)
