@@ -725,3 +725,46 @@ def eval_rectilinear_pre(
     w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
     out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals)
     return out[:n]
+
+
+def eval_regular_pre(
+    dims, starts, steps, vals, obs, method: str, linearize: bool, passes: int = 6
+):
+    """Regular-grid evaluation with XLA-precomputed weights (experimental
+    twin of eval_rectilinear_pre; see benches/exp notes in docs/perf.md)."""
+    from .factorized import _basis_weights_cubic_regular
+    from .locate import locate_regular_cubic, locate_regular_linear
+
+    if method == "nearest":
+        passes = 6
+    dims = tuple(dims)
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    locs, ws = [], []
+    for k in range(len(dims)):
+        x = obs[k].astype(jnp.float32)
+        if method in ("linear", "nearest"):
+            loc, t = locate_regular_linear(
+                x, starts[k].astype(jnp.float32), steps[k].astype(jnp.float32),
+                dims[k],
+            )
+            if method == "linear":
+                locs.append(loc)
+                ws.extend([1.0 - t, t])
+            else:
+                locs.append(loc + jnp.where(t <= 0.5, 0, 1).astype(loc.dtype))
+                ws.append(jnp.ones_like(t))
+        else:
+            cl = locate_regular_cubic(
+                x, starts[k].astype(jnp.float32), steps[k].astype(jnp.float32),
+                dims[k],
+            )
+            locs.append(cl.loc)
+            ws.extend(_basis_weights_cubic_regular(cl, bool(linearize)))
+    pad = n_pad - n
+    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals)
+    return out[:n]

@@ -230,3 +230,15 @@ def test_v3_rect_precomputed_weights(method):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     else:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6)
+
+
+def test_v3_regular_precomputed_weights_variant():
+    """eval_regular_pre (experimental; in-kernel construction measured
+    faster for regular grids and stays the dispatch choice) must agree with
+    the main entry."""
+    dims = (20, 20, 20)
+    starts, steps, vals, obs = _case(dims, seed=23)
+    for method in ("linear", "cubic"):
+        a = v3.eval_regular_pre(dims, starts, steps, vals, obs, method, True, 6)
+        b = v3.eval_regular(dims, starts, steps, vals, obs, method, True, 6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6)
