@@ -245,3 +245,58 @@ def test_v3_regular_precomputed_weights_variant():
         # ulp-level weight differences amplify under extrapolation
         # cancellation to ~1e-4 relative on near-zero results
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_v3_exact_mode_property_suite():
+    """The reference's Rust property tests, applied to the fused engine in
+    exact mode (interpret): linear reproduces sum(x_i) exactly over every
+    interp/extrap combination; cubic reproduces a quadratic even under
+    (non-linearized) extrapolation — the natural-BC property
+    (`src/multicubic/regular.rs:680-730`)."""
+    import itertools
+
+    dims = (20, 20, 20)
+    starts = jnp.zeros(3, jnp.float32)
+    steps = jnp.full(3, 0.5, jnp.float32)
+    axes = [np.arange(20, dtype=np.float32) * 0.5 for _ in range(3)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+
+    # a 3^N observation mesh covering every interp/extrap-low/high combo
+    pts = []
+    for combo in itertools.product([-0.8, 4.6, 10.3], repeat=3):
+        pts.append(combo)
+    obs = tuple(
+        jnp.asarray(np.array([p[k] for p in pts]), jnp.float32) for k in range(3)
+    )
+
+    vals_lin = jnp.asarray(sum(mesh).ravel(), jnp.float32)
+    out = v3.eval_regular(dims, starts, steps, vals_lin, obs, "linear", True, 6)
+    expected = np.sum(np.stack([np.asarray(o) for o in obs]), axis=0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-6, atol=2e-5)
+
+    vals_quad = jnp.asarray(
+        sum((m - 3.0) ** 2 for m in mesh).ravel(), jnp.float32
+    )
+    out = v3.eval_regular(dims, starts, steps, vals_quad, obs, "cubic", False, 6)
+    expected = np.sum(
+        np.stack([(np.asarray(o) - 3.0) ** 2 for o in obs]), axis=0
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=2e-4)
+
+
+def test_df64_quadratic_extrapolation_property():
+    """Double-float engine: quadratic reproduced under extrapolation at
+    ~f64-level accuracy (the reference asserts atol 1e-10 for true f64)."""
+    from interpn_tpu.ops import pallas_df64 as df
+
+    dims = (12, 12)
+    starts = jnp.zeros(2)
+    steps = jnp.ones(2)
+    axes = [np.arange(12, dtype=np.float64) for _ in range(2)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    vals = jnp.asarray(sum((m - 4.0) ** 2 for m in mesh).ravel())
+    rng = np.random.default_rng(3)
+    obs = tuple(jnp.asarray(rng.uniform(-2.0, 13.0, 500)) for _ in range(2))
+    out = df.eval_regular(dims, starts, steps, vals, obs, "cubic", False)
+    expected = sum((np.asarray(o) - 4.0) ** 2 for o in obs)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10, atol=1e-9)
