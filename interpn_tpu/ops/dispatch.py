@@ -63,7 +63,10 @@ MIN_PALLAS_QUERIES = 1024
 MAX_PALLAS_GRID = {
     "cubic": 1 << 21,  # effectively the VMEM cap in pallas_v3.supported
     "linear": 3 << 18,
-    "nearest": MAX_FACTORIZED_GRID,
+    # nearest gather fetches ONE element/query at 93 Mq/s; the pallas
+    # kernel runs 567 Mq/s on an 8k-cell grid but its cost grows with
+    # prod(dims) — measured crossover ~50k cells, capped conservatively
+    "nearest": 1 << 15,
 }
 MAX_PALLAS_GRID_RECT = 1 << 21
 
