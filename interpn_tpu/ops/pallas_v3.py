@@ -59,7 +59,10 @@ _I32 = jnp.int32
 # into two bf16 copies) and the obs/out tiles ride on top.
 _TILE_BYTES = 4 * 1024 * 1024
 _MAX_TQ = 1024
-_MIN_TQ = 128
+# Floor of 256: a 128-lane tile gives each MXU pass a single N-block and
+# pipelines poorly (measured +8% at 100^3 going 128 -> 256; 512 regresses
+# by VMEM pressure there).
+_MIN_TQ = 256
 # Largest value table kept resident in VMEM (f32 bytes; the hi+lo bf16
 # copies cost the same total). 100^3 f32 = 4 MB qualifies — verified on
 # v5e hardware with the raised scoped-VMEM limit below; the whole
