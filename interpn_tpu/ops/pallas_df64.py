@@ -71,6 +71,12 @@ def supported(dims, method: str) -> bool:
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
+    # The kernel statically unrolls d_last rank-1 double-float updates over
+    # (lead, tile) planes; Mosaic compile time explodes past ~2k lead rows
+    # (a 20^4 grid, lead 8000, did not compile within 9 minutes). Verified
+    # shapes (3D 20^3, 2D) compile in seconds.
+    if math.prod(dims[:-1]) > 2048:
+        return False
     return math.prod(dims) <= max_grid(method, len(dims)) and dims[-1] >= 2
 
 
