@@ -186,3 +186,37 @@ def test_nonfinite_grid_forces_gather():
     assert m._dev_cache()[-1] is False
     m2 = it.MultilinearRegular.new([4, 4], np.zeros(2), np.ones(2), np.ones(16))
     assert m2._dev_cache()[-1] is True
+
+
+def test_dispatch_engine_selection_policy(monkeypatch):
+    """Engine choice per (dtype, grid size, query count, method), with the
+    backend forced to 'tpu' so the policy itself is what's under test."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    big = jnp.zeros(10**6, jnp.float32)
+    mid = jnp.zeros(10_000, jnp.float32)
+    tiny = jnp.zeros(512, jnp.float32)
+    f64 = jnp.zeros(10**6, jnp.float64)
+
+    impl = dispatch._impl
+    # f32: pallas from 1024 queries when the grid fits
+    assert impl(jnp.float32, 8000, big, True, (20, 20, 20), "cubic") == "pallas"
+    assert impl(jnp.float32, 8000, mid, True, (20, 20, 20), "cubic") == "pallas"
+    assert impl(jnp.float32, 8000, tiny, True, (20, 20, 20), "cubic") == "gather"
+    # mid-size batches below the factorized floor but pallas-eligible
+    assert impl(jnp.float32, 8000, mid, True, None, "cubic") == "gather"
+    # large grids: cubic keeps pallas (VMEM cap), nearest crosses to gather
+    assert impl(jnp.float32, 10**6, big, True, (100,) * 3, "cubic") == "pallas"
+    assert impl(jnp.float32, 10**6, big, True, (100,) * 3, "nearest") == "gather"
+    # rectilinear flag lifts the per-method caps
+    assert (
+        impl(jnp.float32, 10**6, big, True, (100,) * 3, "nearest", rect=True)
+        == "pallas"
+    )
+    # f64: double-float engine for supported shapes, gather otherwise
+    assert impl(jnp.float64, 8000, f64, True, (20, 20, 20), "cubic") == "df64"
+    assert impl(jnp.float64, 160000, f64, True, (20,) * 4, "cubic") == "gather"
+    assert impl(jnp.float64, 8000, f64, True, (20, 20, 20), "nearest") == "gather"
+    # non-finite grids always fall to gather
+    assert impl(jnp.float32, 8000, big, False, (20, 20, 20), "cubic") == "gather"
