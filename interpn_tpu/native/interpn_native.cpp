@@ -283,14 +283,22 @@ struct CubicRegular {
     constexpr int NV = 1 << (2 * N);  // 4^N
     // digit-pattern stencil offsets are call constants; hoist them out of
     // the per-point loop (they cost ~3 imuls per vertex per point otherwise)
-    int64_t voff[N <= 4 ? NV : 1];
-    if constexpr (N <= 4) {
-      for (int v = 0; v < NV; ++v) {
-        int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += (int64_t)((v >> (2 * k)) & 3) * stride[k];
-        voff[v] = off;
-      }
+    // digit-pattern stencil offsets are call constants (4^N of them; heap
+    // for the 5-8D tail, stack for the hot 1-4D range)
+    std::vector<int64_t> voff_heap;
+    int64_t voff_stack[N <= 4 ? NV : 1];
+    int64_t* voff = voff_stack;
+    if constexpr (N > 4) {
+      voff_heap.resize(NV);
+      voff = voff_heap.data();
     }
+    for (int v = 0; v < NV; ++v) {
+      int64_t off = 0;
+      for (int k = 0; k < N; ++k) off += (int64_t)((v >> (2 * k)) & 3) * stride[k];
+      voff[v] = off;
+    }
+    std::vector<T> c_heap;
+    if constexpr (N > 4) c_heap.resize(NV);
     for (int64_t i = 0; i < n; ++i) {
       int64_t base = 0;
       T t[N];
@@ -315,49 +323,25 @@ struct CubicRegular {
         t[k] = (x - (starts[k] + steps[k] * (T)(loc + 1))) / steps[k];
         base += loc * stride[k];
       }
-      if constexpr (N <= 4) {
-        // Value-tree evaluation, matching the reference's flattened kernels
-        // (src/multicubic/regular.rs:364-422) and this library's JAX gather
-        // path: gather the 4^N stencil (dim 0 in the lowest digit) and
-        // reduce one axis per level. Under deep non-linearized f32
-        // extrapolation this is ~2 decimal digits more accurate than the
-        // weight-product form (adjudicated against the f64 oracle).
-        T c[NV];
-        for (int v = 0; v < NV; ++v) c[v] = vals[base + voff[v]];
-        int len = NV;
-        for (int k = 0; k < N; ++k) {
-          len /= 4;
-          for (int j = 0; j < len; ++j)
-            c[j] = cubic_node<T>(c[4 * j], c[4 * j + 1], c[4 * j + 2],
-                                 c[4 * j + 3], t[k], sat[k], linearize);
-        }
-        out[i] = c[0];
-      } else {
-        // 5-8D: per-axis basis weights (the node function is linear in the
-        // four stencil values), O(N) stack — the reference serves this
-        // regime with its recursive kernels.
-        T w[N][4];
-        for (int k = 0; k < N; ++k)
-          for (int b = 0; b < 4; ++b)
-            w[k][b] = cubic_node<T>(b == 0 ? (T)1 : (T)0, b == 1 ? (T)1 : (T)0,
-                                    b == 2 ? (T)1 : (T)0, b == 3 ? (T)1 : (T)0,
-                                    t[k], sat[k], linearize);
-        constexpr int NOUTER = NV / 4;
-        T acc = 0;
-        for (int v = 0; v < NOUTER; ++v) {
-          int64_t off = 0;
-          T wp = 1;
-          for (int k = 0; k < N - 1; ++k) {
-            const int d = (v >> (2 * k)) & 3;
-            off += (int64_t)d * stride[k];
-            wp *= w[k][d];
-          }
-          const T* p = vals + base + off;
-          acc += wp * (p[0] * w[N - 1][0] + p[1] * w[N - 1][1] +
-                       p[2] * w[N - 1][2] + p[3] * w[N - 1][3]);
-        }
-        out[i] = acc;
+      // Value-tree evaluation, matching the reference's kernels
+      // (src/multicubic/regular.rs:364-422 flattened, *_recursive.rs for
+      // 5-8D — same association order) and this library's JAX gather path:
+      // gather the 4^N stencil (dim 0 in the lowest digit) and reduce one
+      // axis per level. Under deep non-linearized f32 extrapolation this is
+      // ~2 decimal digits more accurate than a weight-product form
+      // (adjudicated against the f64 oracle by scripts/fuzz_parity.py).
+      T c_stack[N <= 4 ? NV : 1];
+      T* c = c_stack;
+      if constexpr (N > 4) c = c_heap.data();
+      for (int v = 0; v < NV; ++v) c[v] = vals[base + voff[v]];
+      int len = NV;
+      for (int k = 0; k < N; ++k) {
+        len /= 4;
+        for (int j = 0; j < len; ++j)
+          c[j] = cubic_node<T>(c[4 * j], c[4 * j + 1], c[4 * j + 2],
+                               c[4 * j + 3], t[k], sat[k], linearize);
       }
+      out[i] = c[0];
     }
   }
 };
@@ -370,14 +354,20 @@ struct CubicRectilinear {
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
     constexpr int NV = 1 << (2 * N);
-    int64_t voff[N <= 4 ? NV : 1];
-    if constexpr (N <= 4) {
-      for (int v = 0; v < NV; ++v) {
-        int64_t off = 0;
-        for (int k = 0; k < N; ++k) off += (int64_t)((v >> (2 * k)) & 3) * stride[k];
-        voff[v] = off;
-      }
+    std::vector<int64_t> voff_heap;
+    int64_t voff_stack[N <= 4 ? NV : 1];
+    int64_t* voff = voff_stack;
+    if constexpr (N > 4) {
+      voff_heap.resize(NV);
+      voff = voff_heap.data();
     }
+    for (int v = 0; v < NV; ++v) {
+      int64_t off = 0;
+      for (int k = 0; k < N; ++k) off += (int64_t)((v >> (2 * k)) & 3) * stride[k];
+      voff[v] = off;
+    }
+    std::vector<T> c_heap;
+    if constexpr (N > 4) c_heap.resize(NV);
     for (int64_t i = 0; i < n; ++i) {
       int64_t base = 0;
       int64_t locs[N];
@@ -396,46 +386,21 @@ struct CubicRectilinear {
         locs[k] = loc;
         base += loc * stride[k];
       }
-      if constexpr (N <= 4) {
-        // Value-tree evaluation (see CubicRegular above).
-        T c[NV];
-        for (int v = 0; v < NV; ++v) c[v] = vals[base + voff[v]];
-        int len = NV;
-        for (int k = 0; k < N; ++k) {
-          len /= 4;
-          const T* gc = grids[k] + locs[k];
-          for (int j = 0; j < len; ++j)
-            c[j] = cubic_node_rect<T>(c[4 * j], c[4 * j + 1], c[4 * j + 2],
-                                      c[4 * j + 3], gc, obs[k][i], sat[k],
-                                      linearize);
-        }
-        out[i] = c[0];
-      } else {
-        T w[N][4];
-        for (int k = 0; k < N; ++k) {
-          const T* gc = grids[k] + locs[k];
-          for (int b = 0; b < 4; ++b)
-            w[k][b] = cubic_node_rect<T>(
-                b == 0 ? (T)1 : (T)0, b == 1 ? (T)1 : (T)0,
-                b == 2 ? (T)1 : (T)0, b == 3 ? (T)1 : (T)0, gc, obs[k][i],
-                sat[k], linearize);
-        }
-        constexpr int NOUTER = NV / 4;
-        T acc = 0;
-        for (int v = 0; v < NOUTER; ++v) {
-          int64_t off = 0;
-          T wp = 1;
-          for (int k = 0; k < N - 1; ++k) {
-            const int d = (v >> (2 * k)) & 3;
-            off += (int64_t)d * stride[k];
-            wp *= w[k][d];
-          }
-          const T* p = vals + base + off;
-          acc += wp * (p[0] * w[N - 1][0] + p[1] * w[N - 1][1] +
-                       p[2] * w[N - 1][2] + p[3] * w[N - 1][3]);
-        }
-        out[i] = acc;
+      // Value-tree evaluation (see CubicRegular above).
+      T c_stack[N <= 4 ? NV : 1];
+      T* c = c_stack;
+      if constexpr (N > 4) c = c_heap.data();
+      for (int v = 0; v < NV; ++v) c[v] = vals[base + voff[v]];
+      int len = NV;
+      for (int k = 0; k < N; ++k) {
+        len /= 4;
+        const T* gc = grids[k] + locs[k];
+        for (int j = 0; j < len; ++j)
+          c[j] = cubic_node_rect<T>(c[4 * j], c[4 * j + 1], c[4 * j + 2],
+                                    c[4 * j + 3], gc, obs[k][i], sat[k],
+                                    linearize);
       }
+      out[i] = c[0];
     }
   }
 };

@@ -52,15 +52,14 @@ pl.pallas_call = _interp_call
 
 
 def run_round(rng: np.random.Generator, idx: int) -> None:
-    ndims = int(rng.integers(1, 5))
+    ndims = int(rng.integers(1, 7))
     method = rng.choice(["linear", "cubic", "nearest"])
     regular = bool(rng.integers(0, 2))
     dtype = rng.choice([np.float64, np.float32])
     linearize = bool(rng.integers(0, 2))
     min_pts = 4 if method == "cubic" else 2
-    dims = [int(rng.integers(min_pts, min_pts + 4)) for _ in range(ndims)]
-    if method == "nearest" and ndims > 6:
-        ndims = 6
+    span = 4 if ndims <= 4 else 2  # keep 5-6D grids small enough to fuzz
+    dims = [int(rng.integers(min_pts, min_pts + span)) for _ in range(ndims)]
 
     starts = rng.uniform(-3, 3, ndims)
     steps = rng.uniform(0.2, 2.0, ndims)
