@@ -71,6 +71,19 @@ MAX_PALLAS_GRID = {
 MAX_PALLAS_GRID_RECT = 1 << 21
 
 
+def _plain_trace(x) -> bool:
+    """True when x is a concrete array or an ordinary jit trace. Under
+    jax.grad/jvp (JVPTracer) or vmap (BatchTracer) the fused Pallas kernels
+    must not be selected: their bodies use primitives without
+    differentiation/batching rules (pltpu.repeat), and the gather/factorized
+    engines differentiate and batch natively."""
+    from jax._src.interpreters import ad, batching
+
+    return not isinstance(
+        x, (ad.JVPTracer, ad.LinearizeTracer, batching.BatchTracer)
+    )
+
+
 def _vals_finite(vals) -> bool:
     """Best-effort trace-time finiteness check of the grid values.
 
@@ -91,7 +104,7 @@ def _vals_finite(vals) -> bool:
 
 def _impl(
     dtype, nvals: int, obs0, vals_finite: bool, dims=None, method="",
-    rect: bool = False,
+    rect: bool = False, vals_ref=None,
 ) -> str:
     """Pick the engine for one trace. `dims` is the static grid shape
     (regular: from the dims argument; rectilinear: from the grid array
@@ -99,9 +112,15 @@ def _impl(
     mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
     if mode == "pallas":
         # forced pallas still honors hard capability limits (dtype/ndims/
-        # VMEM); ineligible f32 traces fall back to factorized, f64 to the
-        # gather tree (an f64 einsum would hit emulated matmuls, ~400x slow)
-        if dims is not None and _pv3.supported(tuple(dims), dtype, method):
+        # VMEM/AD-compatibility); ineligible f32 traces fall back to
+        # factorized, f64 to the gather tree (an f64 einsum would hit
+        # emulated matmuls, ~400x slow)
+        if (
+            dims is not None
+            and _plain_trace(obs0)
+            and _plain_trace(vals_ref)
+            and _pv3.supported(tuple(dims), dtype, method)
+        ):
             return "pallas"
         mode = "factorized" if dtype == jnp.float32 else "gather"
     if mode in ("gather", "factorized"):
@@ -113,6 +132,8 @@ def _impl(
         and obs0.size >= MIN_PALLAS_QUERIES
         and jax.default_backend() == "tpu"
         and dims is not None
+        and _plain_trace(obs0)
+        and _plain_trace(vals_ref)
         and _pdf.supported(tuple(dims), method)
     ):
         # double-float contraction engine: ~1e-14 relative agreement with
@@ -129,12 +150,36 @@ def _impl(
         if (
             dims is not None
             and nvals <= cap
+            and _plain_trace(obs0)
+            and _plain_trace(vals_ref)
             and _pv3.supported(tuple(dims), dtype, method)
         ):
             return "pallas"
         if nvals <= MAX_FACTORIZED_GRID and obs0.size >= MIN_FACTORIZED_QUERIES:
             return "factorized"
     return "gather"
+
+
+def _with_gather_jvp(pallas_fn, gather_fn):
+    """Wrap a fused-kernel call in jax.custom_jvp, computing tangents via
+    the differentiable gather implementation.
+
+    Trace-time tracer detection (_plain_trace) cannot catch AD applied to an
+    ALREADY-TRACED jit jaxpr (pjit's jvp rule differentiates the stored
+    jaxpr, where the pallas custom call raises NotImplementedError for
+    pltpu.repeat) — a custom JVP rule rides inside the jaxpr instead. The
+    primal stays on the fused kernel; the tangent evaluates through the
+    gather tree, which differentiates natively.
+    """
+    f = jax.custom_jvp(pallas_fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):  # noqa: ANN001
+        out = pallas_fn(*primals)
+        _, dout = jax.jvp(gather_fn, primals, tangents)
+        return out, dout
+
+    return f
 
 
 def _pallas_passes() -> int:
@@ -152,9 +197,16 @@ def _resolve_finite(vals, vals_finite) -> bool:
 
 def nearest_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     vf = _resolve_finite(vals, vals_finite)
-    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest")
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest", vals_ref=vals
+    )
     if impl == "pallas":
-        return _pv3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
+        # nearest is piecewise-constant: zero tangents via the gather tree
+        prim = lambda st, sp, v, *ob: _pv3.eval_regular(
+            dims, st, sp, v, ob, "nearest", True
+        )
+        gat = lambda st, sp, v, *ob: _nearest_reg_gather(dims, st, sp, v, ob)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "factorized":
         return _fz.nearest_regular_factorized(dims, starts, steps, vals, obs)
     return _nearest_reg_gather(dims, starts, steps, vals, obs)
@@ -164,10 +216,14 @@ def nearest_rectilinear(grids, vals, obs, *, vals_finite=None):
     dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
     impl = _impl(
-        vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest", rect=True
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "nearest", rect=True,
+        vals_ref=vals,
     )
     if impl == "pallas":
-        return _pv3.eval_rectilinear(grids, vals, obs, "nearest", True)
+        ng = len(grids)
+        prim = lambda *a: _pv3.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "nearest", True)
+        gat = lambda *a: _nearest_rect_gather(a[:ng], a[ng], a[ng + 1:])
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "factorized":
         return _fz.nearest_rectilinear_factorized(grids, vals, obs)
     return _nearest_rect_gather(grids, vals, obs)
@@ -175,13 +231,19 @@ def nearest_rectilinear(grids, vals, obs, *, vals_finite=None):
 
 def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     vf = _resolve_finite(vals, vals_finite)
-    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "linear")
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", vals_ref=vals
+    )
     if impl == "df64":
-        return _pdf.eval_regular(dims, starts, steps, vals, obs, "linear")
+        prim = lambda st, sp, v, *ob: _pdf.eval_regular(dims, st, sp, v, ob, "linear")
+        gat = lambda st, sp, v, *ob: _linear_reg_gather(dims, st, sp, v, ob)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "pallas":
-        return _pv3.eval_regular(
-            dims, starts, steps, vals, obs, "linear", True, _pallas_passes()
+        prim = lambda st, sp, v, *ob: _pv3.eval_regular(
+            dims, st, sp, v, ob, "linear", True, _pallas_passes()
         )
+        gat = lambda st, sp, v, *ob: _linear_reg_gather(dims, st, sp, v, ob)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "factorized":
         return _fz.linear_regular_factorized(dims, starts, steps, vals, obs)
     return _linear_reg_gather(dims, starts, steps, vals, obs)
@@ -191,16 +253,22 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
     dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
     impl = _impl(
-        vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", rect=True
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", rect=True,
+        vals_ref=vals,
     )
+    ng = len(grids)
     if impl == "df64":
-        return _pdf.eval_rectilinear(grids, vals, obs, "linear")
+        prim = lambda *a: _pdf.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "linear")
+        gat = lambda *a: _linear_rect_gather(a[:ng], a[ng], a[ng + 1:])
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "pallas":
         # XLA-precomputed weights beat the in-kernel rectilinear locate
         # (counts + select-sums) — measured on v5e, docs/perf.md
-        return _pv3.eval_rectilinear_pre(
-            grids, vals, obs, "linear", True, _pallas_passes()
+        prim = lambda *a: _pv3.eval_rectilinear_pre(
+            a[:ng], a[ng], a[ng + 1:], "linear", True, _pallas_passes()
         )
+        gat = lambda *a: _linear_rect_gather(a[:ng], a[ng], a[ng + 1:])
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "factorized":
         return _fz.linear_rectilinear_factorized(grids, vals, obs)
     return _linear_rect_gather(grids, vals, obs)
@@ -210,17 +278,22 @@ def cubic_regular(
     dims, starts, steps, vals, obs, linearize_extrapolation: bool, *, vals_finite=None
 ):
     vf = _resolve_finite(vals, vals_finite)
-    impl = _impl(vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic")
+    impl = _impl(
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", vals_ref=vals
+    )
+    lin = bool(linearize_extrapolation)
     if impl == "df64":
-        return _pdf.eval_regular(
-            dims, starts, steps, vals, obs, "cubic",
-            bool(linearize_extrapolation),
+        prim = lambda st, sp, v, *ob: _pdf.eval_regular(
+            dims, st, sp, v, ob, "cubic", lin
         )
+        gat = lambda st, sp, v, *ob: _cubic_reg_gather(dims, st, sp, v, ob, lin)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "pallas":
-        return _pv3.eval_regular(
-            dims, starts, steps, vals, obs, "cubic",
-            bool(linearize_extrapolation), _pallas_passes(),
+        prim = lambda st, sp, v, *ob: _pv3.eval_regular(
+            dims, st, sp, v, ob, "cubic", lin, _pallas_passes()
         )
+        gat = lambda st, sp, v, *ob: _cubic_reg_gather(dims, st, sp, v, ob, lin)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "factorized":
         return _fz.cubic_regular_factorized(
             dims, starts, steps, vals, obs, linearize_extrapolation
@@ -232,17 +305,21 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     dims = tuple(int(g.shape[0]) for g in grids)
     vf = _resolve_finite(vals, vals_finite)
     impl = _impl(
-        vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", rect=True
+        vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", rect=True,
+        vals_ref=vals,
     )
+    ng = len(grids)
+    lin = bool(linearize_extrapolation)
     if impl == "df64":
-        return _pdf.eval_rectilinear(
-            grids, vals, obs, "cubic", bool(linearize_extrapolation)
-        )
+        prim = lambda *a: _pdf.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "cubic", lin)
+        gat = lambda *a: _cubic_rect_gather(a[:ng], a[ng], a[ng + 1:], lin)
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "pallas":
-        return _pv3.eval_rectilinear_pre(
-            grids, vals, obs, "cubic",
-            bool(linearize_extrapolation), _pallas_passes(),
+        prim = lambda *a: _pv3.eval_rectilinear_pre(
+            a[:ng], a[ng], a[ng + 1:], "cubic", lin, _pallas_passes()
         )
+        gat = lambda *a: _cubic_rect_gather(a[:ng], a[ng], a[ng + 1:], lin)
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "factorized":
         return _fz.cubic_rectilinear_factorized(
             grids, vals, obs, linearize_extrapolation

@@ -300,3 +300,39 @@ def test_df64_quadratic_extrapolation_property():
     out = df.eval_regular(dims, starts, steps, vals, obs, "cubic", False)
     expected = sum((np.asarray(o) - 4.0) ** 2 for o in obs)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-10, atol=1e-9)
+
+
+def test_jvp_through_jit_selects_custom_rule(monkeypatch):
+    """jax.jvp of an ALREADY-JITTED pallas-dispatched eval must work: trace-
+    time tracer detection cannot see AD applied to a stored jaxpr, so the
+    dispatch wraps fused calls in jax.custom_jvp whose tangent evaluates
+    through the differentiable gather tree (running gradient_jax on real
+    TPU raised NotImplementedError for pltpu.repeat before this)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from interpn_tpu.ops import dispatch
+
+    dims = (20, 20, 20)
+    starts = jnp.zeros(3, jnp.float32)
+    steps = jnp.full(3, 0.5, jnp.float32)
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.standard_normal(8000), jnp.float32)
+    rest = (jnp.full(2048, 3.3, jnp.float32), jnp.full(2048, 4.4, jnp.float32))
+
+    @jax.jit
+    def f(x):
+        return dispatch.cubic_regular(
+            dims, starts, steps, vals, (x, *rest), True
+        )
+
+    x0 = jnp.asarray(rng.uniform(0, 9.5, 2048), jnp.float32)
+    y, dy = jax.jvp(f, (x0,), (jnp.ones_like(x0),))
+    # tangent must match the gather tree's directional derivative
+    gref = lambda x: ops.cubic.cubic_regular(dims, starts, steps, vals, (x, *rest), True)
+    yr, dyr = jax.jvp(gref, (x0,), (jnp.ones_like(x0),))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dyr), rtol=1e-4, atol=1e-4)
+    # and grad-of-sum through the jitted function works
+    g = jax.grad(lambda x: jnp.sum(f(x)))(x0)
+    assert np.isfinite(np.asarray(g)).all()

@@ -174,3 +174,43 @@ def test_no_allocation_growth_across_repeated_eval():
         )
     gc.collect()
     assert len(jax.live_arrays()) == base
+
+
+def test_grad_never_selects_pallas(monkeypatch):
+    """jax.grad / jax.jvp / jax.vmap traces must route to the differentiable
+    engines even when the fused Pallas kernel would otherwise be selected
+    (its body uses primitives without AD/batching rules — running the
+    gradient example on real TPU hardware raised NotImplementedError before
+    this gate)."""
+    import interpn_tpu.ops.dispatch as dispatch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dims = (20, 20, 20)
+    starts = jnp.zeros(3, jnp.float32)
+    steps = jnp.full(3, 0.5, jnp.float32)
+    vals = jnp.asarray(np.random.default_rng(0).standard_normal(8000), jnp.float32)
+    seen = []
+
+    orig = dispatch._impl
+
+    def spy(*a, **k):
+        seen.append(orig(*a, **k))
+        return seen[-1]
+
+    monkeypatch.setattr(dispatch, "_impl", spy)
+
+    def f(x):
+        obs = (x * jnp.ones(2048), jnp.ones(2048), jnp.ones(2048))
+        return jnp.sum(ops.cubic_regular(dims, starts, steps, vals, obs, True))
+
+    jax.make_jaxpr(jax.grad(f))(jnp.float32(1.0))
+    assert seen and all(impl != "pallas" for impl in seen), seen
+    seen.clear()
+    jax.make_jaxpr(jax.vmap(lambda v: ops.cubic_regular(
+        dims, starts, steps, v, (jnp.ones(2048),) * 3, True
+    )))(jnp.zeros((2, 8000), jnp.float32))
+    assert seen and all(impl != "pallas" for impl in seen), seen
+    seen.clear()
+    # plain jit still selects pallas
+    jax.make_jaxpr(f)(jnp.float32(1.0))
+    assert "pallas" in seen, seen
