@@ -17,7 +17,7 @@ TPU-native extensions beyond the reference API:
 from __future__ import annotations
 
 from functools import reduce
-from typing import Any
+from typing import Any, ClassVar
 
 import jax
 import jax.numpy as jnp
@@ -43,12 +43,21 @@ def arrtype_for(vals: np.ndarray):
 class InterpolatorBase(BaseModel):
     model_config = ConfigDict(frozen=True, extra="forbid", arbitrary_types_allowed=True)
 
+    # Minimum grid points per axis the method's stencil needs, enforced at
+    # eval time with the reference core's exact message (the reference
+    # CONSTRUCTS such models fine and errors inside the Rust kernel, e.g.
+    # `src/multilinear/regular.rs:243-245`; concrete classes override).
+    _MIN_GRID: ClassVar[int] = 2
+    _MIN_GRID_MSG: ClassVar[str] = "All grids must have at least two entries"
+
     # Lazily-built device cache: subclass-specific tuple of device arrays plus
     # any static metadata needed by the jitted kernel.
     _dev: Any = PrivateAttr(default=None)
     # Lazily-prepared native CPU callable (grid constants frozen), or False
     # when the native backend is unavailable for this configuration.
     _native: Any = PrivateAttr(default=None)
+    # One-time eval-size guard result (None = not yet checked).
+    _grid_ok: Any = PrivateAttr(default=None)
 
     # ---- subclass hooks -------------------------------------------------
     def _device_constants(self):  # pragma: no cover - abstract
@@ -92,11 +101,23 @@ class InterpolatorBase(BaseModel):
                 prepared.append(jnp.asarray(np.asarray(x).ravel(), dtype=cast))
         return tuple(prepared)
 
+    def _check_grid_sizes(self):
+        """Eval-time stencil-size floor (reference parity: the Rust core
+        rejects under-sized grids at eval, not at construction)."""
+        if self._grid_ok is None:
+            object.__setattr__(
+                self,
+                "_grid_ok",
+                all(int(d) >= self._MIN_GRID for d in self._grid_sizes()),
+            )
+        assert self._grid_ok, self._MIN_GRID_MSG
+
     def eval_jax(self, obs) -> jax.Array:
         """Evaluate on device and return a device array (TPU-native fast
         path; not part of the reference API)."""
         if self._dtype not in (np.float64, np.float32):
             raise TypeError(f"Unexpected data type: {self._dtype}")
+        self._check_grid_sizes()
         return self._eval_device(self._dev_cache(), self._obs_to_device(obs))
 
     def eval(self, obs, out=None):
@@ -157,6 +178,7 @@ class InterpolatorBase(BaseModel):
         constants. The hot branch is hand-flattened: this is the per-call
         overhead that decides the reference's headline 1-observation
         latency."""
+        self._check_grid_sizes()
         out_inner = out if out is not None else np.zeros_like(obs[0])
         nat = self._native
         if nat is None:
@@ -186,6 +208,9 @@ def prod_dims(dims) -> int:
 class RegularGridMixin:
     """Device plumbing + bounds checks shared by the regular-grid models
     (fields: dims, starts, steps, vals)."""
+
+    def _grid_sizes(self):
+        return [int(d) for d in self.dims]
 
     def _device_constants(self):
         dims = tuple(int(d) for d in self.dims)
@@ -225,6 +250,9 @@ class RegularGridMixin:
 class RectilinearGridMixin:
     """Device plumbing + bounds checks shared by the rectilinear-grid models
     (fields: grids, vals)."""
+
+    def _grid_sizes(self):
+        return [x.data.size for x in self.grids]
 
     def _device_constants(self):
         grids = tuple(jnp.asarray(g.data) for g in self.grids)

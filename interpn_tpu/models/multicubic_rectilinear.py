@@ -28,6 +28,9 @@ class MulticubicRectilinear(RectilinearGridMixin, InterpolatorBase):
     monotonically increasing.
     """
 
+    _MIN_GRID = 4
+    _MIN_GRID_MSG = "All grids must have at least 4 entries"
+
     grids: list[Array]
     vals: Array
     linearize_extrapolation: bool

@@ -30,6 +30,9 @@ class MulticubicRegular(RegularGridMixin, InterpolatorBase):
     and must be 1D and contiguous and have size at least 4.
     """
 
+    _MIN_GRID = 4
+    _MIN_GRID_MSG = "All grids must have at least four entries"
+
     dims: list[int]
     starts: Array
     steps: Array

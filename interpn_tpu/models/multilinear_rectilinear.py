@@ -23,6 +23,9 @@ class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
     and must be 1D and contiguous. Grids must be monotonically increasing.
     """
 
+    _MIN_GRID = 2
+    _MIN_GRID_MSG = "All grids must have at least 2 entries"
+
     grids: list[Array]
     vals: Array
 

@@ -71,6 +71,34 @@ _MAX_VALS_BYTES = 4 * 1024 * 1024 + 64 * 1024
 # Widest combined trailing-axes weight matrix (K) worth building.
 _MAX_GROUP_K = 2048
 
+# Tuning knobs (module-level so benches/exp_tune.py can A/B them on
+# hardware; clear the jit caches after changing one). Measured on v5e
+# (benches/exp_tune.py, 2026-08): query tiles of 2048, dimension_semantics
+# arbitrary/parallel, and bounds-check elision all move the 3D/4D/100^3
+# configs by <= 2% — the MXU stage runs at ~89% of its padded-block roof
+# already, so the defaults stay conservative.
+_DIM_SEMANTICS: tuple | None = None
+_DISABLE_BOUNDS = False
+
+
+def _compiler_params(need: int):
+    """CompilerParams for one pallas_call given its VMEM footprint estimate.
+
+    Large tables + the (lead, tq) contraction tile can exceed the default
+    16 MB scoped-VMEM budget (a 100^3 exact-mode table alone is 5 MB); v5e
+    has more physical VMEM than the default scoped limit, so raise it when
+    the configuration needs it."""
+    kw = {}
+    if need > 12 * 1024 * 1024:
+        kw["vmem_limit_bytes"] = min(2 * need, 96 * 1024 * 1024)
+    if _DIM_SEMANTICS is not None:
+        kw["dimension_semantics"] = _DIM_SEMANTICS
+    if _DISABLE_BOUNDS:
+        kw["disable_bounds_checks"] = True
+    if not kw:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(**kw)}
+
 
 def _hermite(t, y0, dy, k0, k1):
     a = k0 - dy
@@ -448,20 +476,12 @@ def _pallas_v3(dims, starts, steps, vals, method, linearize, passes, obs_mat):
     tables, specs = _tables_and_specs(v2, lead, ksize, passes)
     starts2d = starts.reshape(1, ndims).astype(jnp.float32)
     steps2d = steps.reshape(1, ndims).astype(jnp.float32)
-    # Large tables + the (lead, tq) contraction tile can exceed the default
-    # 16 MB scoped-VMEM budget (a 100^3 exact-mode table alone is 5 MB);
-    # v5e has more physical VMEM than the default scoped limit, so raise it
-    # when this configuration needs it.
     need = (
         lead * _pad(ksize) * 4  # table(s): one f32 or two bf16 copies
         + 3 * lead * tq * 4  # T plus accumulation temporaries
         + _pad(ksize) * tq * 8  # W and its hi/lo splits
     )
-    params = {}
-    if need > 12 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
-        )
+    params = _compiler_params(need)
     # x64 mode makes BlockSpec index maps emit i64, which Mosaic cannot
     # legalize; the kernel is pure f32/i32, so trace with x64 off.
     with jax.enable_x64(False):
@@ -573,11 +593,7 @@ def _pallas_v3_rect(dims, gridsT, vals, obs_mat, method, linearize, passes):
         + 3 * lead * tq * 4
         + _pad(ksize) * tq * 8
     )
-    params = {}
-    if need > 12 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
-        )
+    params = _compiler_params(need)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
@@ -656,11 +672,7 @@ def _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals):
         + 3 * lead * tq * 4
         + _pad(ksize) * tq * 8
     )
-    params = {}
-    if need > 12 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * need, 96 * 1024 * 1024)
-        )
+    params = _compiler_params(need)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,

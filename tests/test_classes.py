@@ -239,3 +239,47 @@ def test_eval_jax_first_call_under_jit_does_not_poison_cache():
     # eager call afterwards must work and may now populate the cache
     np.testing.assert_allclose(np.asarray(m.eval_jax(obs)), [3.0, 5.0])
     np.testing.assert_allclose(np.asarray(f(obs)), [3.0, 5.0])
+
+
+def test_undersized_grid_raises_at_eval_not_construction():
+    """Reference parity: the pydantic validators accept under-sized grids
+    (the reference's do too — `multilinear_regular.py:73-96` has no
+    per-axis size floor) and the EVAL path raises the core's exact message
+    (`src/multilinear/regular.rs:243-245`, `src/multicubic/regular.rs:261`,
+    `src/nearest/rectilinear.rs:141`). Previously the class eval path
+    skipped this and returned uninitialized garbage via the native engine."""
+    import pytest
+
+    cases = [
+        (
+            it.MultilinearRegular.new([1], np.zeros(1), np.ones(1), np.zeros(1)),
+            "All grids must have at least two entries",
+        ),
+        (
+            it.MultilinearRectilinear.new([np.array([0.0])], np.zeros(1)),
+            "All grids must have at least 2 entries",
+        ),
+        (
+            it.MulticubicRegular.new([3, 3], np.zeros(2), np.ones(2), np.zeros(9)),
+            "All grids must have at least four entries",
+        ),
+        (
+            it.MulticubicRectilinear.new(
+                [np.array([0.0, 1.0, 2.0])], np.zeros(3)
+            ),
+            "All grids must have at least 4 entries",
+        ),
+        (
+            it.NearestRegular.new([1], np.zeros(1), np.ones(1), np.zeros(1)),
+            "All grids must have at least two entries",
+        ),
+        (
+            it.NearestRectilinear.new([np.array([0.0])], np.zeros(1)),
+            "All grids must have at least 2 entries",
+        ),
+    ]
+    for model, msg in cases:
+        obs = [np.array([0.5])] * model.ndims()
+        for meth in ("eval", "eval_unchecked", "eval_jax"):
+            with pytest.raises(AssertionError, match=f"^{msg}$"):
+                getattr(model, meth)(obs)
