@@ -112,13 +112,23 @@ class InterpolatorBase(BaseModel):
             )
         assert self._grid_ok, self._MIN_GRID_MSG
 
+    def _eval_device_full(self, dev, obs_j):
+        """(result, unrepresentable_flag_or_None). Regular-grid kernels
+        return the flag (see raw._unrep_flag); rectilinear never error
+        (reference parity: bisection instead of an isize cast)."""
+        res = self._eval_device(dev, obs_j)
+        return res if isinstance(res, tuple) else (res, None)
+
     def eval_jax(self, obs) -> jax.Array:
         """Evaluate on device and return a device array (TPU-native fast
-        path; not part of the reference API)."""
+        path; not part of the reference API). Unlike eval(), this never
+        raises on NaN/inf coordinates — blocking on a device flag would
+        break async dispatch; invalid coordinates propagate as NaN in the
+        usual JAX way."""
         if self._dtype not in (np.float64, np.float32):
             raise TypeError(f"Unexpected data type: {self._dtype}")
         self._check_grid_sizes()
-        return self._eval_device(self._dev_cache(), self._obs_to_device(obs))
+        return self._eval_device_full(self._dev_cache(), self._obs_to_device(obs))[0]
 
     def eval(self, obs, out=None):
         """Evaluate at observation points, optionally writing into a
@@ -154,7 +164,9 @@ class InterpolatorBase(BaseModel):
                 for j, x in enumerate(obs_j)
             )
             _, dy = jax.jvp(
-                lambda *o: self._eval_device(dev, tuple(o)), obs_j, tangents
+                lambda *o: self._eval_device_full(dev, tuple(o))[0],
+                obs_j,
+                tangents,
             )
             grads.append(dy)
         return tuple(grads)
@@ -197,7 +209,14 @@ class InterpolatorBase(BaseModel):
                 and nat(obs, out_inner)
             ):
                 return out_inner
-        result = self.eval_jax(obs)
+        if self._dtype not in (np.float64, np.float32):
+            raise TypeError(f"Unexpected data type: {self._dtype}")
+        result, bad = self._eval_device_full(
+            self._dev_cache(), self._obs_to_device(obs)
+        )
+        if bad is not None and bool(bad):
+            # reference parity: AssertionError from the core's isize cast
+            raise AssertionError("Unrepresentable coordinate value")
         return _np_result(result, obs, out_inner)
 
 

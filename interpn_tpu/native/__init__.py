@@ -208,6 +208,17 @@ def _compose(fast, slow):
     return call
 
 
+
+
+def _rc_result(rc: int) -> bool:
+    """Map a kernel return code: 0 done, 2 raises the reference's
+    unrepresentable-coordinate error (regular families only), else fall
+    back to the JAX path."""
+    if rc == 2:
+        raise AssertionError("Unrepresentable coordinate value")
+    return rc == 0
+
+
 # ---------------------------------------------------------------------------
 # prepared (grid-frozen) callables — used by the persistent model classes
 # ---------------------------------------------------------------------------
@@ -231,7 +242,7 @@ def prepare_linear_regular(dims, starts, steps, vals, dtype):
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
-        return rc == 0
+        return _rc_result(rc)
 
     fast = None
     fc = _load_fastcall()
@@ -262,7 +273,7 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
-        return rc == 0
+        return _rc_result(rc)
 
     fast = None
     fc = _load_fastcall()
@@ -297,7 +308,7 @@ def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
-        return rc == 0
+        return _rc_result(rc)
 
     fast = None
     fc = _load_fastcall()
@@ -331,7 +342,7 @@ def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
-        return rc == 0
+        return _rc_result(rc)
 
     fast = None
     fc = _load_fastcall()

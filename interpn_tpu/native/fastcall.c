@@ -168,6 +168,12 @@ static PyObject *PreparedCall_call(PreparedCall *self, PyObject *args,
   Py_DECREF(seq);
 
   if (ok && rc == 0) Py_RETURN_TRUE;
+  if (ok && rc == 2) {
+    /* Reference parity (src/multilinear/regular.rs:418 via python.rs:78):
+     * NaN/inf/out-of-int64-range coordinates raise, never fall back. */
+    PyErr_SetString(PyExc_AssertionError, "Unrepresentable coordinate value");
+    return NULL;
+  }
   Py_RETURN_FALSE;
 }
 

@@ -120,6 +120,19 @@ inline T cd_nonuniform(T y0, T y1, T y2, T h01, T h12) {
 
 enum class Sat : uint8_t { None, InsideLow, OutsideLow, InsideHigh, OutsideHigh };
 
+// Reference parity: the regular-grid kernels cast the cell location to a
+// signed 64-bit index and ERROR on NaN/inf/out-of-range coordinates
+// ("Unrepresentable coordinate value", src/multilinear/regular.rs:418,
+// src/multicubic/regular.rs:438, src/nearest/regular.rs:309). 2^63 is a
+// power of two, exactly representable in both float and double.
+constexpr int RC_UNREPRESENTABLE = 2;
+
+template <typename T>
+inline bool unrepresentable(T floc) {
+  const T lim = (T)9223372036854775808.0;  // 2^63
+  return !(floc >= -lim && floc < lim);    // catches NaN via comparison
+}
+
 // partition_point(< v): first index with grid[i] >= v.
 template <typename T>
 inline int64_t lower_count(const T* grid, int64_t n, T v) {
@@ -133,20 +146,24 @@ inline int64_t lower_count(const T* grid, int64_t n, T v) {
 
 template <typename T, int N>
 struct LinearRegular {
-  static void run(const int64_t* dims, const T* starts, const T* steps,
-                  const T* vals, const T* const* obs, T* out, int64_t n) {
+  static int run(const int64_t* dims, const T* starts, const T* steps,
+                 const T* vals, const T* const* obs, T* out, int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    bool bad = false;
     for (int64_t i = 0; i < n; ++i) {
       int64_t base = 0;
       T w[N][2];
       for (int k = 0; k < N; ++k) {
         const T x = obs[k][i];
         const T floc = std::floor((x - starts[k]) / steps[k]);
+        bad |= unrepresentable(floc);
         const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        // arg order matters: max((T)0, NaN) -> 0, so the cast below is
+        // always defined; the accumulated flag reports the point afterwards
         const int64_t loc =
-            (int64_t)std::min<T>(std::max<T>(floc, (T)0), (T)dimmax);
+            (int64_t)std::min<T>((T)dimmax, std::max<T>((T)0, floc));
         const T t = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
         w[k][0] = (T)1 - t;
         w[k][1] = t;
@@ -169,13 +186,14 @@ struct LinearRegular {
       }
       out[i] = acc;
     }
+    return bad ? RC_UNREPRESENTABLE : 0;
   }
 };
 
 template <typename T, int N>
 struct LinearRectilinear {
-  static void run(const T* const* grids, const int64_t* dims, const T* vals,
-                  const T* const* obs, T* out, int64_t n) {
+  static int run(const T* const* grids, const int64_t* dims, const T* vals,
+                 const T* const* obs, T* out, int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
@@ -206,6 +224,7 @@ struct LinearRectilinear {
       }
       out[i] = acc;
     }
+    return 0;
   }
 };
 
@@ -274,9 +293,9 @@ inline T cubic_node_rect(T v0, T v1, T v2, T v3, const T* gc, T x, Sat sat,
 
 template <typename T, int N>
 struct CubicRegular {
-  static void run(const int64_t* dims, const T* starts, const T* steps,
-                  const T* vals, bool linearize, const T* const* obs, T* out,
-                  int64_t n) {
+  static int run(const int64_t* dims, const T* starts, const T* steps,
+                 const T* vals, bool linearize, const T* const* obs, T* out,
+                 int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
@@ -299,6 +318,7 @@ struct CubicRegular {
     }
     std::vector<T> c_heap;
     if constexpr (N > 4) c_heap.resize(NV);
+    bool bad = false;
     for (int64_t i = 0; i < n; ++i) {
       int64_t base = 0;
       T t[N];
@@ -306,6 +326,7 @@ struct CubicRegular {
       for (int k = 0; k < N; ++k) {
         const T x = obs[k][i];
         const T floc = std::floor((x - starts[k]) / steps[k]);
+        bad |= unrepresentable(floc);
         // Clamp in float BEFORE the int cast (casting an unrepresentable
         // float to int64 is UB and can wrap a hugely negative query to the
         // high edge); saturation flags come from float comparisons, matching
@@ -313,8 +334,9 @@ struct CubicRegular {
         const T filoc = floc - (T)1;
         const int64_t nn = dims[k];
         const int64_t dimmax = std::max<int64_t>(nn - 4, 0);
+        // max((T)0, NaN) -> 0: the cast is always defined (see LinearRegular)
         const int64_t loc =
-            (int64_t)std::min<T>(std::max<T>(filoc, (T)0), (T)dimmax);
+            (int64_t)std::min<T>((T)dimmax, std::max<T>((T)0, filoc));
         if (filoc < (T)-1) sat[k] = Sat::OutsideLow;
         else if (filoc == (T)-1) sat[k] = Sat::InsideLow;
         else if (filoc > (T)(nn - 3)) sat[k] = Sat::OutsideHigh;
@@ -343,13 +365,14 @@ struct CubicRegular {
       }
       out[i] = c[0];
     }
+    return bad ? RC_UNREPRESENTABLE : 0;
   }
 };
 
 template <typename T, int N>
 struct CubicRectilinear {
-  static void run(const T* const* grids, const int64_t* dims, const T* vals,
-                  bool linearize, const T* const* obs, T* out, int64_t n) {
+  static int run(const T* const* grids, const int64_t* dims, const T* vals,
+                 bool linearize, const T* const* obs, T* out, int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
@@ -402,36 +425,41 @@ struct CubicRectilinear {
       }
       out[i] = c[0];
     }
+    return 0;
   }
 };
 
 template <typename T, int N>
 struct NearestRegular {
-  static void run(const int64_t* dims, const T* starts, const T* steps,
-                  const T* vals, const T* const* obs, T* out, int64_t n) {
+  static int run(const int64_t* dims, const T* starts, const T* steps,
+                 const T* vals, const T* const* obs, T* out, int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
+    bool bad = false;
     for (int64_t i = 0; i < n; ++i) {
       int64_t flat = 0;
       for (int k = 0; k < N; ++k) {
         const T x = obs[k][i];
         const T floc = std::floor((x - starts[k]) / steps[k]);
+        bad |= unrepresentable(floc);
         const int64_t dimmax = std::max<int64_t>(dims[k] - 2, 0);
+        // max((T)0, NaN) -> 0: the cast is always defined (see LinearRegular)
         const int64_t loc =
-            (int64_t)std::min<T>(std::max<T>(floc, (T)0), (T)dimmax);
+            (int64_t)std::min<T>((T)dimmax, std::max<T>((T)0, floc));
         const T dt = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
         flat += (loc + (dt <= (T)0.5 ? 0 : 1)) * stride[k];
       }
       out[i] = vals[flat];
     }
+    return bad ? RC_UNREPRESENTABLE : 0;
   }
 };
 
 template <typename T, int N>
 struct NearestRectilinear {
-  static void run(const T* const* grids, const int64_t* dims, const T* vals,
-                  const T* const* obs, T* out, int64_t n) {
+  static int run(const T* const* grids, const int64_t* dims, const T* vals,
+                 const T* const* obs, T* out, int64_t n) {
     int64_t stride[N];
     int64_t acc = 1;
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
@@ -448,20 +476,21 @@ struct NearestRectilinear {
       }
       out[i] = vals[flat];
     }
+    return 0;
   }
 };
 
 template <template <typename, int> class K, typename T, typename... A>
 int dispatch_regular(int ndims, A... a) {
   switch (ndims) {
-    case 1: K<T, 1>::run(a...); return 0;
-    case 2: K<T, 2>::run(a...); return 0;
-    case 3: K<T, 3>::run(a...); return 0;
-    case 4: K<T, 4>::run(a...); return 0;
-    case 5: K<T, 5>::run(a...); return 0;
-    case 6: K<T, 6>::run(a...); return 0;
-    case 7: K<T, 7>::run(a...); return 0;
-    case 8: K<T, 8>::run(a...); return 0;
+    case 1: return K<T, 1>::run(a...);
+    case 2: return K<T, 2>::run(a...);
+    case 3: return K<T, 3>::run(a...);
+    case 4: return K<T, 4>::run(a...);
+    case 5: return K<T, 5>::run(a...);
+    case 6: return K<T, 6>::run(a...);
+    case 7: return K<T, 7>::run(a...);
+    case 8: return K<T, 8>::run(a...);
     default: return 1;
   }
 }

@@ -76,10 +76,31 @@ _MAX_DIMS_MSG = (
 # created from host data. Donating the obs tuple lets XLA write the output
 # into one of the query buffers (same shape/dtype), preserving the
 # reference's zero-extra-allocation `out=` contract on device.
+#
+# REGULAR-grid cores return (result, unrepresentable_flag): the reference's
+# regular kernels cast the cell location to isize and error on NaN/inf/
+# out-of-range coordinates ("Unrepresentable coordinate value",
+# src/multilinear/regular.rs:418, src/multicubic/regular.rs:438,
+# src/nearest/regular.rs:309); the flag is one fused elementwise+reduce pass
+# over obs inside the same program, and the host shims raise on it.
+# Rectilinear kernels bisect instead of casting, so they never error — and
+# neither do these (parity).
+
+_TWO63 = 9223372036854775808.0  # 2^63, exactly representable in f32 and f64
+
+
+def _unrep_flag(starts, steps, obs):
+    bad = jnp.zeros((), bool)
+    for k, x in enumerate(obs):
+        floc = jnp.floor((x - starts[k]) / steps[k])
+        ok = (floc >= -_TWO63) & (floc < _TWO63)  # False for NaN too
+        bad = bad | (~ok).any()
+    return bad
 
 
 def _linear_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
-    return ops.linear_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
+    out = ops.linear_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
+    return out, _unrep_flag(starts, steps, obs)
 
 
 def _linear_rectilinear_impl(grids, vals, obs, vals_finite=True):
@@ -87,7 +108,8 @@ def _linear_rectilinear_impl(grids, vals, obs, vals_finite=True):
 
 
 def _nearest_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
-    return ops.nearest_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
+    out = ops.nearest_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
+    return out, _unrep_flag(starts, steps, obs)
 
 
 def _nearest_rectilinear_impl(grids, vals, obs, vals_finite=True):
@@ -95,9 +117,10 @@ def _nearest_rectilinear_impl(grids, vals, obs, vals_finite=True):
 
 
 def _cubic_regular_impl(dims, starts, steps, vals, obs, linearize, vals_finite=True):
-    return ops.cubic_regular(
+    out = ops.cubic_regular(
         dims, starts, steps, vals, obs, linearize, vals_finite=vals_finite
     )
+    return out, _unrep_flag(starts, steps, obs)
 
 
 def _cubic_rectilinear_impl(grids, vals, obs, linearize, vals_finite=True):
@@ -182,6 +205,11 @@ def _validate_rectilinear(grids, vals, obs, out, *, min_size, size_msg):
     assert all(_size(x) == n for x in obs), "Dimension mismatch"
 
 
+def _raise_unrep(bad):
+    if bool(bad):
+        raise AssertionError("Unrepresentable coordinate value")
+
+
 def _finish(result, out):
     """Write the device result into a preallocated numpy `out` (the
     reference's in-place contract) and return it. Device-array `out` is not
@@ -263,7 +291,9 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
     core = _linear_regular_don if _fresh_obs(obs) else _linear_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(core(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
+    result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
+    _raise_unrep(bad)
+    return _finish(result, out)
 
 
 def interpn_linear_regular_f64(dims, starts, steps, vals, obs, out):
@@ -317,7 +347,9 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
     core = _nearest_regular_don if _fresh_obs(obs) else _nearest_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(core(dims, starts_j, steps_j, vals_j, obs_j, vf), out)
+    result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
+    _raise_unrep(bad)
+    return _finish(result, out)
 
 
 def interpn_nearest_regular_f64(dims, starts, steps, vals, obs, out):
@@ -373,9 +405,10 @@ def _interpn_cubic_regular(
     core = _cubic_regular_don if _fresh_obs(obs) else _cubic_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    result = core(
+    result, bad = core(
         dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )
+    _raise_unrep(bad)
     return _finish(result, out)
 
 

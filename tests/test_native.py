@@ -41,7 +41,7 @@ def test_native_matches_jax_linear_regular(ndims):
         jnp.asarray(steps),
         jnp.asarray(vals),
         tuple(jnp.asarray(o) for o in obs),
-    )
+    )[0]
     # ulp-level agreement (XLA's CPU codegen schedules the arithmetic
     # slightly differently; exact bitwise equality across backends is not a
     # contract the reference makes either)
@@ -150,14 +150,16 @@ def test_fastcall_rejects_wrong_dtype_buffers():
 
 
 def test_native_cubic_extreme_coordinates():
-    """Huge/non-finite queries must saturate to the edge cell, never wrap
-    through an int cast (UB): a hugely negative query extrapolates from the
-    LOW edge, matching the JAX kernel's float-clamped locate."""
+    """Coordinate-range edge semantics (reference parity,
+    `src/multicubic/regular.rs:438`): queries whose cell location is
+    representable as a signed 64-bit index saturate to the edge cell (never
+    wrapping through an int cast — UB); past 2^63 (or NaN/inf) the kernel
+    raises "Unrepresentable coordinate value" instead of returning garbage."""
     from interpn_tpu import ops
 
     dims = [8]
     vals = np.arange(8.0)  # linear ramp: cubic reproduces it exactly
-    for q in (-1e300, 1e300, -3e18, 3e18):
+    for q in (-3e18, 3e18):  # |floc| < 2^63: representable, clamps
         out = np.zeros(1)
         assert native.cubic_regular(
             dims, np.zeros(1), np.ones(1), vals, True, [np.array([q])], out
@@ -166,12 +168,14 @@ def test_native_cubic_extreme_coordinates():
             (8,), np.zeros(1), np.ones(1), vals, (np.array([q]),), True
         )
         np.testing.assert_allclose(out, np.asarray(dev), rtol=1e-12)
-    # NaN query: must not crash; result propagates NaN like the device path
-    out = np.zeros(1)
-    assert native.cubic_regular(
-        dims, np.zeros(1), np.ones(1), vals, True, [np.array([np.nan])], out
-    )
-    assert np.isnan(out[0])
+    for q in (-1e300, 1e300, np.nan, np.inf):  # unrepresentable: raises
+        out = np.zeros(1)
+        with pytest.raises(
+            AssertionError, match="Unrepresentable coordinate value"
+        ):
+            native.cubic_regular(
+                dims, np.zeros(1), np.ones(1), vals, True, [np.array([q])], out
+            )
 
 
 def test_check_bounds_dtype_follows_entry_point():

@@ -63,7 +63,7 @@ def test_sharded_matches_single_device(mesh, method):
             (8, 8, 8), jnp.asarray(starts), jnp.asarray(steps), jnp.asarray(vals), obs_j
         ),
     }[method]
-    out_single = np.asarray(single_fn())
+    out_single = np.asarray(single_fn()[0])
     assert np.array_equal(out_sharded, out_single)
 
 

@@ -133,7 +133,7 @@ def test_donated_core_reuses_query_buffer():
 
     vals = jnp.asarray(np.arange(16.0))
     obs_j = tuple(jnp.asarray(np.full(64, 1.5)) for _ in range(2))
-    res = raw._linear_regular_don(
+    res, _bad = raw._linear_regular_don(
         (4, 4), jnp.zeros(2), jnp.ones(2), vals, obs_j, True
     )
     res.block_until_ready()
@@ -143,7 +143,7 @@ def test_donated_core_reuses_query_buffer():
     obs_j2 = tuple(jnp.asarray(np.full(64, 1.5)) for _ in range(2))
     raw._linear_regular(
         (4, 4), jnp.zeros(2), jnp.ones(2), vals, obs_j2, True
-    ).block_until_ready()
+    )[0].block_until_ready()
     assert not any(o.is_deleted() for o in obs_j2)
 
 

@@ -101,3 +101,87 @@ def test_check_bounds_native_matches_device():
         del os.environ["INTERPN_TPU_NATIVE"]
     assert np.array_equal(flags_native, flags_dev)
     assert flags_native[0] and not flags_native[1]
+
+
+class TestUnrepresentableCoordinates:
+    """Reference parity: REGULAR-grid kernels cast the cell location to a
+    signed 64-bit index and raise AssertionError("Unrepresentable coordinate
+    value") for NaN/inf/out-of-range coordinates
+    (`src/multilinear/regular.rs:418`, `src/multicubic/regular.rs:438`,
+    `src/nearest/regular.rs:309`); RECTILINEAR kernels bisect instead of
+    casting and silently propagate (`src/multilinear/rectilinear.rs:352-370`
+    has no cast). Covers the native CPU path (small numpy batches), the
+    device path (jax arrays), and both dtypes."""
+
+    BADS = [np.nan, np.inf, -np.inf, 1e300]
+    MSG = "Unrepresentable coordinate value"
+
+    def _obs(self, bad, n=2):
+        return [np.array([0.5, bad]), np.array([0.5, 0.5])][:n]
+
+    @pytest.mark.parametrize("bad", BADS)
+    @pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_raw_regular_raises(self, bad, method, dtype):
+        if dtype == np.float32 and bad == 1e300:
+            bad = 1e38  # representable in f32, floc still > 2^63
+        dims = [5, 5]
+        grid = np.linspace(0, 1, 5).astype(dtype)
+        vals = np.arange(25, dtype=dtype)
+        fn = getattr(
+            it.raw,
+            f"interpn_{method}_regular_{'f64' if dtype == np.float64 else 'f32'}",
+        )
+        obs = [o.astype(dtype) for o in self._obs(bad)]
+        out = np.zeros(2, dtype=dtype)
+        args = [dims, grid[:2] * 0, np.full(2, 0.25, dtype)]
+        if method == "cubic":
+            with pytest.raises(AssertionError, match=self.MSG):
+                fn(*args, vals, True, obs, out)
+        else:
+            with pytest.raises(AssertionError, match=self.MSG):
+                fn(*args, vals, obs, out)
+
+    @pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+    def test_raw_rectilinear_propagates(self, method):
+        grids = [np.linspace(0, 1, 5)] * 2
+        vals = np.arange(25.0)
+        fn = getattr(it.raw, f"interpn_{method}_rectilinear_f64")
+        obs = self._obs(np.nan)
+        out = np.zeros(2)
+        if method == "cubic":
+            fn(grids, vals, True, obs, out)
+        else:
+            fn(grids, vals, obs, out)
+        assert out[0] == out[0]  # first point evaluated normally
+
+    def test_class_native_path_raises(self):
+        m = it.MultilinearRegular.new(
+            [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+        )
+        with pytest.raises(AssertionError, match=self.MSG):
+            m.eval([np.array([np.nan]), np.array([0.5])])
+
+    def test_class_device_path_raises(self):
+        import jax.numpy as jnp
+
+        m = it.MulticubicRegular.new(
+            [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+        )
+        with pytest.raises(AssertionError, match=self.MSG):
+            m.eval_unchecked([jnp.full(4096, jnp.inf), jnp.full(4096, 0.5)])
+
+    def test_eval_jax_propagates_not_raises(self):
+        """Device-native API keeps async dispatch: NaN in, NaN out."""
+        import jax.numpy as jnp
+
+        m = it.MultilinearRegular.new(
+            [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+        )
+        out = np.asarray(m.eval_jax([jnp.full(8, jnp.nan), jnp.full(8, 0.5)]))
+        assert np.isnan(out).all()
+
+    def test_interpn_function_raises(self):
+        grids = [np.linspace(0, 1, 5)] * 2
+        with pytest.raises(AssertionError, match=self.MSG):
+            it.interpn(self._obs(np.nan), grids, np.arange(25.0).reshape(5, 5))
