@@ -133,18 +133,14 @@ class InterpolatorBase(BaseModel):
     def eval(self, obs, out=None):
         """Evaluate at observation points, optionally writing into a
         preallocated array (reference semantics)."""
-        out_inner = out if out is not None else np.zeros_like(obs[0])
-        self.eval_unchecked(obs, out_inner)
-        return out_inner
+        if out is not None:
+            return self.eval_unchecked(obs, out)
+        out = np.zeros_like(obs[0])
+        self.eval_unchecked(obs, out)
+        return out
 
     def _prepare_native(self):  # pragma: no cover - abstract
         return None
-
-    def _native_eval(self, obs, out) -> bool:
-        if self._native is None:
-            object.__setattr__(self, "_native", self._prepare_native() or False)
-        call = self._native
-        return bool(call) and call(obs, out)
 
     def gradient_jax(self, obs):
         """Partial derivatives of the interpolant at each observation point
@@ -187,9 +183,32 @@ class InterpolatorBase(BaseModel):
 
         Host-resident (numpy) data takes the native CPU path; device arrays
         run the jit-compiled kernel with cached device-resident grid
-        constants. The hot branch is hand-flattened: this is the per-call
-        overhead that decides the reference's headline 1-observation
-        latency."""
+        constants. The hot prologue below is everything between the user's
+        call and the C kernel — it decides the reference's headline
+        1-observation latency, so it is exact-type checks and ONE pydantic
+        private-attr read only (`_native` is truthy only after
+        `_check_grid_sizes` passed in the general path, so the guard is
+        implied)."""
+        nat = self._native
+        if nat is not None and nat is not False and type(out) is np.ndarray:
+            host = True
+            for x in obs:
+                if type(x) is not np.ndarray:
+                    host = False
+                    break
+            if (
+                host
+                and out.flags.c_contiguous
+                and native.use_native(out.size)
+                and nat(obs, out)
+            ):
+                return out
+        return self._eval_unchecked_general(obs, out)
+
+    def _eval_unchecked_general(self, obs, out=None):
+        """Everything the hot prologue doesn't cover: first call (native
+        prep), allocated output, non-ndarray/device observations, and the
+        device fallback."""
         self._check_grid_sizes()
         out_inner = out if out is not None else np.zeros_like(obs[0])
         nat = self._native
