@@ -283,3 +283,15 @@ def test_undersized_grid_raises_at_eval_not_construction():
         for meth in ("eval", "eval_unchecked", "eval_jax"):
             with pytest.raises(AssertionError, match=f"^{msg}$"):
                 getattr(model, meth)(obs)
+
+
+def test_undersized_grid_raises_in_gradient_jax():
+    """gradient_jax shares the eval-time size floor (review finding: it
+    previously skipped the guard and differentiated an invalid stencil)."""
+    import pytest
+
+    m = it.MulticubicRegular.new([3, 3], np.zeros(2), np.ones(2), np.zeros(9))
+    with pytest.raises(
+        AssertionError, match="^All grids must have at least four entries$"
+    ):
+        m.gradient_jax([np.array([0.5]), np.array([0.5])])
