@@ -174,6 +174,43 @@ def _as_dims(dims) -> tuple[int, ...]:
     return tuple(int(d) for d in np.asarray(dims).ravel())
 
 
+def _require_dtype(want: np.dtype, pairs):
+    """Reference parity: the PyO3 layer's monomorphized signatures refuse
+    mismatched inputs outright (`PyReadonlyArray1<T>` extraction raises
+    TypeError, `src/python.rs:58-80`) rather than silently casting — the
+    f32 entry points would otherwise silently truncate f64 data, and
+    non-array inputs (lists) are likewise refused. Device (JAX) arrays are
+    accepted when their dtype matches (documented TPU-native extension)."""
+    for name, a in pairs:
+        dt = getattr(a, "dtype", None)
+        if dt is None:
+            raise TypeError(
+                f"argument '{name}': expected a {want.name} array,"
+                f" got {type(a).__name__}"
+            )
+        if np.dtype(dt) != want:
+            raise TypeError(
+                f"argument '{name}': expected a {want.name} array,"
+                f" got {np.dtype(dt).name}"
+            )
+
+
+def _check_eval_dtypes(dtype, out, obs, arrays):
+    want = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+    pairs = list(arrays)
+    pairs += [("obs", o) for o in obs]
+    pairs.append(("out", out))
+    _require_dtype(want, pairs)
+
+
+def _check_bounds_dtypes(dtype, out, obs, arrays):
+    want = np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+    pairs = list(arrays)
+    pairs += [("obs", o) for o in obs]
+    _require_dtype(want, pairs)
+    _require_dtype(np.dtype(bool), [("out", out)])
+
+
 def _size(x) -> int:
     """Element count without forcing a device->host copy."""
     return int(x.size) if hasattr(x, "size") else len(x)
@@ -276,6 +313,9 @@ def _prep_list(dtype, arrays):
 
 
 def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
+    _check_eval_dtypes(
+        dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
+    )
     dims = _as_dims(dims)
     assert 1 <= len(dims), "Dimension mismatch"
     assert len(dims) <= 8, _MAX_DIMS_MSG
@@ -305,6 +345,9 @@ def interpn_linear_regular_f32(dims, starts, steps, vals, obs, out):
 
 
 def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
+    _check_eval_dtypes(
+        dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
+    )
     assert 1 <= len(grids), "Dimension mismatch"
     assert len(grids) <= 8, _MAX_DIMS_MSG
     _validate_rectilinear(
@@ -332,6 +375,9 @@ def interpn_linear_rectilinear_f32(grids, vals, obs, out):
 
 
 def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
+    _check_eval_dtypes(
+        dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
+    )
     dims = _as_dims(dims)
     assert 1 <= len(dims), "Dimension mismatch"
     assert len(dims) <= 6, "Dimension exceeds maximum (6)."
@@ -361,6 +407,9 @@ def interpn_nearest_regular_f32(dims, starts, steps, vals, obs, out):
 
 
 def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
+    _check_eval_dtypes(
+        dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
+    )
     assert 1 <= len(grids), "Dimension mismatch"
     assert len(grids) <= 6, "Dimension exceeds maximum (6)."
     _validate_rectilinear(
@@ -390,6 +439,9 @@ def interpn_nearest_rectilinear_f32(grids, vals, obs, out):
 def _interpn_cubic_regular(
     dtype, dims, starts, steps, vals, linearize_extrapolation, obs, out
 ):
+    _check_eval_dtypes(
+        dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
+    )
     dims = _as_dims(dims)
     assert 1 <= len(dims), "Dimension mismatch"
     assert len(dims) <= 8, _MAX_DIMS_MSG
@@ -425,6 +477,9 @@ def interpn_cubic_regular_f32(dims, starts, steps, vals, linearize_extrapolation
 
 
 def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs, out):
+    _check_eval_dtypes(
+        dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
+    )
     assert 1 <= len(grids), "Dimension mismatch"
     assert len(grids) <= 8, _MAX_DIMS_MSG
     _validate_rectilinear(
@@ -459,6 +514,7 @@ def interpn_cubic_rectilinear_f32(grids, vals, linearize_extrapolation, obs, out
 
 
 def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
+    _check_bounds_dtypes(dtype, out, obs, [("starts", starts), ("steps", steps)])
     dims = _as_dims(dims)
     ndims = len(dims)
     assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
@@ -489,6 +545,7 @@ def check_bounds_regular_f32(dims, starts, steps, obs, atol, out):
 
 
 def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
+    _check_bounds_dtypes(dtype, out, obs, [("grids", g) for g in grids])
     ndims = len(grids)
     assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
         "Dimension mismatch"

@@ -80,7 +80,9 @@ def test_raw_small_batch_routes_native(monkeypatch):
     vals = 2.0 * x
     obs = [np.array([1.25, 3.5, -1.0, 9.0])]
     out = np.zeros(4)
-    it.raw.interpn_linear_regular_f64([5], [0.0], [1.0], vals, obs, out)
+    it.raw.interpn_linear_regular_f64(
+        [5], np.array([0.0]), np.array([1.0]), vals, obs, out
+    )
     np.testing.assert_allclose(out, 2.0 * obs[0], atol=1e-14)
 
 
@@ -179,20 +181,30 @@ def test_native_cubic_extreme_coordinates():
 
 
 def test_check_bounds_dtype_follows_entry_point():
-    """check_bounds_regular_f32 computes in f32 even when handed float64
-    arrays (the reference computes strictly in the bound function's dtype)."""
+    """The f32 entry point REFUSES f64 arrays (reference parity: PyO3's
+    PyReadonlyArray1<f32> extraction raises TypeError, src/python.rs:58-80)
+    — so the bound comparison always runs in the entry point's dtype. With
+    matching f32 inputs, x = f32(1 - 1e-12) rounds onto the bound and is
+    flagged at atol=0, while the f64 entry sees it strictly inside."""
+    import pytest
+
     from interpn_tpu import raw
 
-    # x = 1 - 1e-12 is strictly inside [0, 1] in f64, but rounds to the
-    # bound itself in f32; with atol=0 the on-bound point is flagged
-    # ((x - hi) >= atol), so the two entry points must disagree. Before the
-    # fix, the f32 entry point silently computed in f64 (dtype inferred from
-    # the float64 starts array) and returned False.
-    x = np.array([1.0 - 1e-12])
+    x64 = np.array([1.0 - 1e-12])
+    with pytest.raises(TypeError, match="expected a float32 array"):
+        raw.check_bounds_regular_f32(
+            [2], np.array([0.0]), np.array([1.0]), [x64], 0.0,
+            np.zeros(1, dtype=bool),
+        )
     out32 = np.zeros(1, dtype=bool)
-    raw.check_bounds_regular_f32([2], np.array([0.0]), np.array([1.0]), [x], 0.0, out32)
+    raw.check_bounds_regular_f32(
+        [2], np.zeros(1, np.float32), np.ones(1, np.float32),
+        [x64.astype(np.float32)], 0.0, out32,
+    )
     out64 = np.zeros(1, dtype=bool)
-    raw.check_bounds_regular_f64([2], np.array([0.0]), np.array([1.0]), [x], 0.0, out64)
+    raw.check_bounds_regular_f64(
+        [2], np.array([0.0]), np.array([1.0]), [x64], 0.0, out64
+    )
     assert bool(out32[0])  # rounds onto the bound in f32 -> flagged
     assert not bool(out64[0])  # strictly inside in f64
 

@@ -185,3 +185,71 @@ class TestUnrepresentableCoordinates:
         grids = [np.linspace(0, 1, 5)] * 2
         with pytest.raises(AssertionError, match=self.MSG):
             it.interpn(self._obs(np.nan), grids, np.arange(25.0).reshape(5, 5))
+
+
+class TestRawDtypeStrictness:
+    """Reference parity: the monomorphized raw entry points refuse
+    mismatched array dtypes and non-array inputs with TypeError (PyO3's
+    `PyReadonlyArray1<T>` extraction, `src/python.rs:58-80`) instead of
+    silently casting — an f32 entry fed f64 data would otherwise silently
+    truncate."""
+
+    def test_f32_entry_refuses_f64_arrays(self):
+        vals = np.arange(16.0)
+        obs = [np.full(3, 1.5), np.full(3, 2.5)]
+        with pytest.raises(TypeError, match="expected a float32 array"):
+            it.raw.interpn_linear_regular_f32(
+                [4, 4], np.zeros(2), np.ones(2), vals, obs, np.zeros(3)
+            )
+
+    def test_f64_entry_refuses_f32_arrays(self):
+        vals = np.arange(16.0, dtype=np.float32)
+        obs = [np.full(3, 1.5, np.float32), np.full(3, 2.5, np.float32)]
+        with pytest.raises(TypeError, match="expected a float64 array"):
+            it.raw.interpn_linear_regular_f64(
+                [4, 4], np.zeros(2, np.float32), np.ones(2, np.float32),
+                vals, obs, np.zeros(3, np.float32),
+            )
+
+    def test_mixed_dtypes_refused(self):
+        with pytest.raises(TypeError, match="argument 'vals'"):
+            it.raw.interpn_linear_regular_f64(
+                [4, 4], np.zeros(2), np.ones(2),
+                np.arange(16.0, dtype=np.float32),
+                [np.full(3, 1.5), np.full(3, 2.5)], np.zeros(3),
+            )
+
+    def test_list_inputs_refused(self):
+        with pytest.raises(TypeError, match="argument 'starts'.*got list"):
+            it.raw.interpn_linear_regular_f64(
+                [4, 4], [0.0, 0.0], np.ones(2), np.arange(16.0),
+                [np.full(3, 1.5), np.full(3, 2.5)], np.zeros(3),
+            )
+
+    def test_rectilinear_and_cubic_entries_check(self):
+        g = [np.linspace(0, 1, 5, dtype=np.float32)] * 2
+        vals = np.arange(25.0, dtype=np.float32)
+        obs = [np.full(3, 0.5, np.float32)] * 2
+        with pytest.raises(TypeError, match="argument 'out'"):
+            it.raw.interpn_linear_rectilinear_f32(g, vals, obs, np.zeros(3))
+        with pytest.raises(TypeError, match="argument 'grids'"):
+            it.raw.interpn_cubic_rectilinear_f32(
+                [gg.astype(np.float64) for gg in g], vals, True, obs,
+                np.zeros(3, np.float32),
+            )
+
+    def test_check_bounds_out_must_be_bool(self):
+        with pytest.raises(TypeError, match="argument 'out'.*expected a bool"):
+            it.raw.check_bounds_regular_f64(
+                [4], np.zeros(1), np.ones(1), [np.full(3, 0.5)], 1e-8,
+                np.zeros(1),
+            )
+
+    def test_matching_dtypes_pass(self):
+        out = np.zeros(3, np.float32)
+        it.raw.interpn_linear_regular_f32(
+            [4, 4], np.zeros(2, np.float32), np.ones(2, np.float32),
+            np.arange(16.0, dtype=np.float32),
+            [np.full(3, 1.5, np.float32), np.full(3, 2.5, np.float32)], out,
+        )
+        assert np.isfinite(out).all()
