@@ -101,6 +101,24 @@ class InterpolatorBase(BaseModel):
                 prepared.append(jnp.asarray(np.asarray(x).ravel(), dtype=cast))
         return tuple(prepared)
 
+    def _check_obs_sizes(self, obs, out=None):
+        """Reference parity: the core checks that exactly ndims observation
+        arrays arrive and that every one (and `out`) has the same length
+        (`src/multilinear/regular.rs:257-266` -> "Dimension mismatch").
+        Without this, the native per-point loop would read out of bounds on
+        a short obs array or silently truncate to a short `out`."""
+        if len(obs) != self.ndims():
+            raise AssertionError("Dimension mismatch")
+        n = None
+        for x in obs:
+            size = int(x.size) if hasattr(x, "size") else len(x)
+            if n is None:
+                n = size
+            elif size != n:
+                raise AssertionError("Dimension mismatch")
+        if out is not None and int(out.size) != n:
+            raise AssertionError("Dimension mismatch")
+
     def _check_grid_sizes(self):
         """Eval-time stencil-size floor (reference parity: the Rust core
         rejects under-sized grids at eval, not at construction).
@@ -140,6 +158,7 @@ class InterpolatorBase(BaseModel):
         if self._dtype not in (np.float64, np.float32):
             raise TypeError(f"Unexpected data type: {self._dtype}")
         self._check_grid_sizes()
+        self._check_obs_sizes(obs)
         return self._eval_device_full(self._dev_cache(), self._obs_to_device(obs))[0]
 
     def eval(self, obs, out=None):
@@ -164,6 +183,7 @@ class InterpolatorBase(BaseModel):
         every method/grid kind and under extrapolation (piecewise-polynomial
         derivatives; not defined exactly at cell boundaries)."""
         self._check_grid_sizes()
+        self._check_obs_sizes(obs)
         obs_j = self._obs_to_device(obs)
         dev = self._dev_cache()
         grads = []
@@ -224,6 +244,7 @@ class InterpolatorBase(BaseModel):
         device fallback."""
         self._check_grid_sizes()
         out_inner = out if out is not None else np.zeros_like(obs[0])
+        self._check_obs_sizes(obs, out_inner)
         nat = self._native
         if nat is None:
             object.__setattr__(self, "_native", self._prepare_native() or False)

@@ -239,6 +239,11 @@ def prepare_linear_regular(dims, starts, steps, vals, dtype):
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
+        # the kernel loops n = out.size points over every obs pointer:
+        # mismatched lengths would read out of bounds / truncate silently
+        # (the reference errors "Dimension mismatch" — raised by the caller)
+        if len(arrs) != ndims or any(a.size != out.size for a in arrs):
+            return False
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
@@ -270,6 +275,11 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
+        # the kernel loops n = out.size points over every obs pointer:
+        # mismatched lengths would read out of bounds / truncate silently
+        # (the reference errors "Dimension mismatch" — raised by the caller)
+        if len(arrs) != ndims or any(a.size != out.size for a in arrs):
+            return False
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
@@ -305,6 +315,11 @@ def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
+        # the kernel loops n = out.size points over every obs pointer:
+        # mismatched lengths would read out of bounds / truncate silently
+        # (the reference errors "Dimension mismatch" — raised by the caller)
+        if len(arrs) != ndims or any(a.size != out.size for a in arrs):
+            return False
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None
@@ -339,6 +354,11 @@ def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
         arrs, ptrs = _obs_ptrs(obs, dtype)
+        # the kernel loops n = out.size points over every obs pointer:
+        # mismatched lengths would read out of bounds / truncate silently
+        # (the reference errors "Dimension mismatch" — raised by the caller)
+        if len(arrs) != ndims or any(a.size != out.size for a in arrs):
+            return False
         rc = fn(*head, ptrs, _VOIDP(out.ctypes.data), _I64(out.size))
         del arrs  # kept alive through the C call; `keep` lives in the closure
         assert keep is not None

@@ -295,3 +295,29 @@ def test_undersized_grid_raises_in_gradient_jax():
         AssertionError, match="^All grids must have at least four entries$"
     ):
         m.gradient_jax([np.array([0.5]), np.array([0.5])])
+
+
+def test_mismatched_obs_and_out_sizes_raise():
+    """Reference parity (`src/multilinear/regular.rs:257-266`): mismatched
+    observation-array lengths or a wrong-size `out` raise "Dimension
+    mismatch". Previously the native ctypes path truncated to out.size
+    silently and a short obs array was read out of bounds."""
+    import pytest
+
+    m = it.MultilinearRegular.new(
+        [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+    )
+    obs = [np.full(10, 0.5), np.full(10, 0.5)]
+    with pytest.raises(AssertionError, match="^Dimension mismatch$"):
+        m.eval(obs, np.zeros(7))
+    with pytest.raises(AssertionError, match="^Dimension mismatch$"):
+        m.eval([np.full(10, 0.5), np.full(9, 0.5)])
+    with pytest.raises(AssertionError, match="^Dimension mismatch$"):
+        m.eval([np.full(10, 0.5)])  # too few obs arrays
+    with pytest.raises(AssertionError, match="^Dimension mismatch$"):
+        m.eval(obs + [np.full(10, 0.5)])  # too many
+    with pytest.raises(AssertionError, match="^Dimension mismatch$"):
+        m.eval_jax([np.full(10, 0.5), np.full(9, 0.5)])
+    # matching sizes still work through all paths
+    out = np.zeros(10)
+    assert m.eval(obs, out) is out
