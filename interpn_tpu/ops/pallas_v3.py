@@ -356,14 +356,19 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
         per_axis = [axw(k) for k in range(ndims)]
 
         # Combined trailing-axes weight matrix (k_old, tq), right-to-left:
-        # flat trailing index j = i_k * width + j'.
+        # flat trailing index j = i_k * width + j'. The outer product is a
+        # broadcast-multiply through a 3D view (leading-axis reshapes are
+        # legal in Mosaic) — measured slightly cheaper than the
+        # jnp.repeat x pltpu.repeat pair it replaces (benches/exp_ablate.py).
         loc, ws = per_axis[ndims - 1]
         wt = _weight_mat(tq, dims[ndims - 1], loc, ws)
         width = dims[ndims - 1]
         for k in range(ndims - 2, m, -1):
             loc, ws = per_axis[k]
             wa = _weight_mat(tq, dims[k], loc, ws)
-            wt = jnp.repeat(wa, width, axis=0) * pltpu.repeat(wt, dims[k], axis=0)
+            wt = (
+                wa.reshape(dims[k], 1, tq) * wt.reshape(1, width, tq)
+            ).reshape(dims[k] * width, tq)
             width *= dims[k]
 
         dot = partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -388,19 +393,42 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
             iota_t = jax.lax.broadcasted_iota(_I32, (ta, tq), 0)
             iota_s = jax.lax.broadcasted_iota(_I32, (sa, tq), 0)
             lead = math.prod(dims[:m])
+            # With at most one lead axis left (m <= 1: the 2D/3D shapes and
+            # every grouped shape whose boundary axis is axis 1), the
+            # virtual-axis one-hot and the axis-0 stencil weights fold into
+            # ONE weighted full-sum u = w0 (x) ai per pass — dropping the
+            # per-pass reshape-sum and the separate final stage. Adding
+            # exact zeros never changes an f32 sum, and at grid nodes the
+            # weights are a unit basis, so node bit-exactness is preserved.
+            # Measured +5% on the 3D headline (benches/exp_ablate.py).
+            merge_tail = m <= 1
+            if merge_tail and m == 1:
+                loc0, ws0 = per_axis[0]
+                w0 = _weight_mat(tq, dims[0], loc0, ws0)
+                w0rep = jnp.repeat(w0, sa, axis=0)  # (d0*sa, tq), built once
             acc = None
             for i in range(npass):
                 ri = jnp.zeros((ta, tq), jnp.float32)
                 for j, wj in enumerate(ws_m):
                     pos = shift + j - i * ta
                     ri = ri + jnp.where(iota_t == pos, wj.reshape(1, tq), 0.0)
-                wk = jnp.repeat(ri, k_old, axis=0) * pltpu.repeat(wt, ta, axis=0)
+                wk = (
+                    ri.reshape(ta, 1, tq) * wt.reshape(1, k_old, tq)
+                ).reshape(ta * k_old, tq)
                 t = mxu(wk)
                 # reduce the virtual outer axis with this pass's one-hot row
                 ai = jnp.where(iota_s == a0 + i, 1.0, 0.0)
-                t = t * pltpu.repeat(ai, max(lead, 1), axis=0)
-                t = t.reshape(max(lead, 1), sa, tq).sum(axis=1)
-                acc = t if acc is None else acc + t
+                if merge_tail:
+                    u = w0rep * pltpu.repeat(ai, lead, axis=0) if m == 1 else ai
+                    contrib = jnp.sum(t * u, axis=0)
+                    acc = contrib if acc is None else acc + contrib
+                else:
+                    t = t * pltpu.repeat(ai, max(lead, 1), axis=0)
+                    t = t.reshape(max(lead, 1), sa, tq).sum(axis=1)
+                    acc = t if acc is None else acc + t
+            if split and merge_tail:
+                out_ref[0, :] = acc.reshape(1, tq)[0, :]
+                return
             t = acc
             next_axis = m - 1
         else:
@@ -418,9 +446,6 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
             wm = _weight_mat(tq, dims[k], loc, ws)
             t = t * pltpu.repeat(wm, lead, axis=0)
             t = t.reshape(lead, dims[k], tq).sum(axis=1)
-        if split and m == 0:
-            out_ref[0, :] = t.reshape(1, tq)[0, :]
-            return
         loc, ws = per_axis[0]
         w0 = _weight_mat(tq, dims[0], loc, ws)
         out_ref[0, :] = jnp.sum(t * w0, axis=0)
