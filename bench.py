@@ -34,7 +34,7 @@ N_OBS = 1_000_000
 # Evaluations per timed scan. Each scan runs R back-to-back evals on
 # DISTINCT inputs inside one jit: this amortizes this environment's ~25 ms
 # relay dispatch latency (real TPU deployments dispatch in tens of us; the
-# profiler-measured kernel time for this config is 3.37 ms/eval = 297 Mq/s,
+# profiler-measured kernel time for this config is 2.75 ms/eval = 382 Mq/s,
 # see docs/perf.md "kernel-time" table — R=96 reports within 5% of it).
 R = 96
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
