@@ -111,8 +111,7 @@ def build(ablate: str):
 @partial(jax.jit, static_argnums=(0,))
 def run_variant(ablate, starts, steps, vals, obs_mat):
     n = obs_mat.shape[1]
-    kernel = build(ablate)
-    v2 = vals.reshape(LEAD, KP).astype(jnp.float32)
+    kernel = build(ablate)  # vals must already be reshaped to (LEAD, KP)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,

@@ -111,7 +111,9 @@ class InterpolatorBase(BaseModel):
             raise AssertionError("Dimension mismatch")
         n = None
         for x in obs:
-            size = int(x.size) if hasattr(x, "size") else len(x)
+            # np.size, not len: scalar obs entries (historically accepted by
+            # this class API) count as 1 instead of raising TypeError
+            size = int(x.size) if hasattr(x, "size") else int(np.size(x))
             if n is None:
                 n = size
             elif size != n:

@@ -83,14 +83,6 @@ static PyObject *PreparedCall_call(PreparedCall *self, PyObject *args,
     return NULL;
   }
   if (!PyArg_ParseTuple(args, "OO", &obs, &out)) return NULL;
-  /* Exactly ndims observation arrays: extras would be silently ignored
-   * below (the reference errors "Dimension mismatch"); the False return
-   * routes to the validating general path. */
-  {
-    Py_ssize_t n_obs = PySequence_Size(obs);
-    if (n_obs < 0) { PyErr_Clear(); Py_RETURN_FALSE; }
-    if ((int)n_obs != self->ndims) Py_RETURN_FALSE;
-  }
 
   PyObject *seq = PySequence_Fast(obs, "obs must be a sequence");
   if (seq == NULL) return NULL;

@@ -225,7 +225,7 @@ def _validate_regular(dims, starts, steps, vals, obs, out, *, min_size, size_msg
     assert all(d >= min_size for d in dims), size_msg
     steps_np = np.asarray(steps)  # (ndims,) — negligible transfer
     assert bool(np.all(steps_np > 0)), "All grids must be monotonically increasing"
-    n = _size(out) if out is not None else _size(obs[0])
+    n = _size(out)  # out is mandatory (dtype check already rejected None)
     assert all(_size(x) == n for x in obs), "Dimension mismatch"
 
 
@@ -238,7 +238,7 @@ def _validate_rectilinear(grids, vals, obs, out, *, min_size, size_msg):
     for g in grids:
         g0, g1 = np.asarray(g[:2])  # first two entries only, as in the reference
         assert g1 > g0, "All grids must be monotonically increasing"
-    n = _size(out) if out is not None else _size(obs[0])
+    n = _size(out)  # out is mandatory (dtype check already rejected None)
     assert all(_size(x) == n for x in obs), "Dimension mismatch"
 
 
@@ -517,7 +517,7 @@ def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
     _check_bounds_dtypes(dtype, out, obs, [("starts", starts), ("steps", steps)])
     dims = _as_dims(dims)
     ndims = len(dims)
-    assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
+    assert len(obs) == ndims and np.asarray(out).size == ndims, (
         "Dimension mismatch"
     )
     if (
@@ -547,7 +547,7 @@ def check_bounds_regular_f32(dims, starts, steps, obs, atol, out):
 def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
     _check_bounds_dtypes(dtype, out, obs, [("grids", g) for g in grids])
     ndims = len(grids)
-    assert len(obs) == ndims and (out is None or np.asarray(out).size == ndims), (
+    assert len(obs) == ndims and np.asarray(out).size == ndims, (
         "Dimension mismatch"
     )
     assert all(np.asarray(g).size > 0 for g in grids), "Dimension mismatch"
