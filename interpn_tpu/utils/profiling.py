@@ -56,3 +56,36 @@ def compiled_hlo(fn, *args, **kwargs) -> str:
     """Compiled HLO text of jit(fn)(*args) — for inspecting fusion and
     confirming the absence of collectives on sharded paths."""
     return jax.jit(fn).lower(*args, **kwargs).compile().as_text()
+
+
+def device_kernel_time(
+    fn, *, match: str = "_pallas", log_dir: str = "/tmp/interpn_tpu_ktrace"
+) -> float:
+    """Seconds of device time for the longest trace event whose name
+    contains `match`, over one traced call of `fn()`.
+
+    This is "kernel-time truth": what a deployment with ordinary
+    dispatch latency would see, independent of this environment's large
+    relay dispatch overhead (which end-to-end timing must amortize over a
+    scan — see device_timeit). `fn` should block on its result. Returns
+    0.0 when no matching device event was captured (the tunneled profiler
+    occasionally drops device traces; retry in that case)."""
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    fn()  # compile + warm outside the trace
+    shutil.rmtree(log_dir, ignore_errors=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        fn()
+    finally:
+        jax.profiler.stop_trace()
+    best = 0.0
+    for f in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f) as fh:
+            for e in json.load(fh).get("traceEvents", []):
+                if e.get("ph") == "X" and match in e.get("name", ""):
+                    best = max(best, float(e.get("dur", 0.0)))
+    return best * 1e-6
