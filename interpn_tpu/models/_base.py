@@ -59,6 +59,25 @@ class InterpolatorBase(BaseModel):
     # One-time eval-size guard result (None = not yet checked).
     _grid_ok: Any = PrivateAttr(default=None)
 
+    def __getstate__(self):
+        """Models pickle at any time, like the reference's pure-data
+        classes: the lazily-built caches (device arrays, the native ctypes
+        closure — a local function, unpicklable) are dropped and rebuilt on
+        first eval after unpickling."""
+        state = super().__getstate__()
+        priv = dict(state.get("__pydantic_private__") or {})
+        priv["_dev"] = None
+        priv["_native"] = None
+        priv["_grid_ok"] = None
+        state["__pydantic_private__"] = priv
+        # object.__setattr__ (used on this frozen model) writes into the
+        # instance __dict__, not __pydantic_private__ — scrub there too
+        d = dict(state.get("__dict__") or {})
+        for k in ("_dev", "_native", "_grid_ok"):
+            d.pop(k, None)
+        state["__dict__"] = d
+        return state
+
     # ---- subclass hooks -------------------------------------------------
     def _device_constants(self):  # pragma: no cover - abstract
         raise NotImplementedError

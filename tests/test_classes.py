@@ -321,3 +321,23 @@ def test_mismatched_obs_and_out_sizes_raise():
     # matching sizes still work through all paths
     out = np.zeros(10)
     assert m.eval(obs, out) is out
+
+
+def test_models_pickle_after_eval():
+    """Reference parity: the pure-data pydantic models pickle at any point
+    in their lifecycle. The lazily-built caches (device constants, native
+    ctypes closure) are excluded from the pickled state and rebuilt on
+    first use (previously: AttributeError "Can't get local object
+    '_compose.<locals>.call'" once eval had populated the cache)."""
+    import copy
+    import pickle
+
+    m = it.MulticubicRegular.new(
+        [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+    )
+    obs = [np.array([0.6]), np.array([0.7])]
+    expect = m.eval(obs)  # populates native + device caches
+    m.eval_jax(obs)
+    for clone in (pickle.loads(pickle.dumps(m)), copy.deepcopy(m)):
+        np.testing.assert_allclose(clone.eval(obs), expect)
+        assert clone.model_dump_json() == m.model_dump_json()
