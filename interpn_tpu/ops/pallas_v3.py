@@ -440,6 +440,19 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
         if next_axis < 0:
             out_ref[0, :] = t.reshape(1, tq)[0, :]
             return
+        if next_axis == 1:
+            # same merged-tail trick as the split branch: with exactly two
+            # lead axes left, their weight outer product reduces t in ONE
+            # weighted full-sum instead of a reshape-sum plus a final stage
+            loc0, ws0 = per_axis[0]
+            w0 = _weight_mat(tq, dims[0], loc0, ws0)
+            loc1, ws1 = per_axis[1]
+            w1 = _weight_mat(tq, dims[1], loc1, ws1)
+            u = (
+                w0.reshape(dims[0], 1, tq) * w1.reshape(1, dims[1], tq)
+            ).reshape(dims[0] * dims[1], tq)
+            out_ref[0, :] = jnp.sum(t * u, axis=0)
+            return
         for k in range(next_axis, 0, -1):
             lead //= dims[k]
             loc, ws = per_axis[k]
