@@ -224,3 +224,68 @@ def test_cubic_5d_large_batch_is_chunked(monkeypatch):
     grids = tuple(jnp.asarray(a) for a in axes)
     out_r = cubic.cubic_rectilinear(grids, vals, obs, True)
     np.testing.assert_allclose(np.asarray(out_r), expected, atol=1e-9)
+
+
+class TestContinuity:
+    """Mathematical smoothness properties across cell boundaries — these
+    guard the branchless saturation/selection logic: a wrong mask at a cell
+    edge shows up as a jump discontinuity. The reference's Hermite
+    construction is C1 in the interior (slopes from shared centered
+    differences, `src/multicubic/mod.rs:68-117`); linear is C0."""
+
+    def _setup(self, method, seed=11):
+        rng = np.random.default_rng(seed)
+        dims = (9, 9)
+        vals = rng.standard_normal(81)
+        starts = np.zeros(2)
+        steps = np.full(2, 0.5)
+        return dims, starts, steps, vals
+
+    def _eval(self, method, dims, starts, steps, vals, obs):
+        obs = tuple(np.asarray(o) for o in obs)
+        if method == "linear":
+            return np.asarray(
+                it.ops.linear_regular(dims, starts, steps, vals, obs)
+            )
+        return np.asarray(
+            it.ops.cubic_regular(dims, starts, steps, vals, obs, True)
+        )
+
+    @pytest.mark.parametrize("method", ["linear", "cubic"])
+    def test_value_continuity_across_interior_cell_edges(self, method):
+        dims, starts, steps, vals = self._setup(method)
+        eps = 1e-7
+        # straddle every interior node on axis 0, random transverse coords
+        rng = np.random.default_rng(3)
+        nodes = starts[0] + steps[0] * np.arange(1, dims[0] - 1)
+        y = rng.uniform(0.3, 3.7, nodes.size)
+        lo = self._eval(method, dims, starts, steps, vals, [nodes - eps, y])
+        hi = self._eval(method, dims, starts, steps, vals, [nodes + eps, y])
+        # value jump across the edge is O(eps * local slope), slopes O(1)/step
+        np.testing.assert_allclose(lo, hi, atol=1e-5)
+
+    def test_cubic_first_derivative_continuity(self):
+        """C1: one-sided difference quotients agree across interior nodes
+        to O(eps) — a saturation-mask bug would leave an O(1) kink."""
+        dims, starts, steps, vals = self._setup("cubic")
+        eps = 1e-5
+        nodes = starts[0] + steps[0] * np.arange(1, dims[0] - 1)
+        y = np.full(nodes.size, 1.77)
+        f = lambda x: self._eval("cubic", dims, starts, steps, vals, [x, y])
+        d_lo = (f(nodes) - f(nodes - eps)) / eps
+        d_hi = (f(nodes + eps) - f(nodes)) / eps
+        np.testing.assert_allclose(d_lo, d_hi, atol=1e-3)
+
+    @pytest.mark.parametrize("method", ["linear", "cubic"])
+    def test_continuity_at_domain_boundary(self, method):
+        """The interp->extrap transition is continuous (linearized cubic
+        extrapolation matches value and slope at the edge,
+        `src/multicubic/regular.rs:553-561`)."""
+        dims, starts, steps, vals = self._setup(method)
+        eps = 1e-7
+        hi_edge = starts[0] + steps[0] * (dims[0] - 1)
+        for edge in (starts[0], hi_edge):
+            y = np.array([2.2])
+            a = self._eval(method, dims, starts, steps, vals, [np.array([edge - eps]), y])
+            b = self._eval(method, dims, starts, steps, vals, [np.array([edge + eps]), y])
+            np.testing.assert_allclose(a, b, atol=1e-5)
