@@ -243,6 +243,10 @@ class TestContinuity:
 
     def _eval(self, method, dims, starts, steps, vals, obs):
         obs = tuple(np.asarray(o) for o in obs)
+        # the eps-straddles below assume f64 evaluation (ulp(4.0) ~ 9e-16
+        # << eps); in f32 they would collapse onto the node and pass
+        # vacuously
+        assert obs[0].dtype == np.float64
         if method == "linear":
             return np.asarray(
                 it.ops.linear_regular(dims, starts, steps, vals, obs)

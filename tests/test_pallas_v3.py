@@ -336,3 +336,28 @@ def test_jvp_through_jit_selects_custom_rule(monkeypatch):
     # and grad-of-sum through the jitted function works
     g = jax.grad(lambda x: jnp.sum(f(x)))(x0)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_v3_split_with_deep_lead_tail():
+    """8^5 nearest splits with TWO lead axes remaining after the boundary
+    reduction (split=True, m=2: _choose_split group=2, sa=4, ta=2) — the
+    flavor that exercises the non-merged split tail followed by the
+    next_axis==1 merged outer product. Review finding: this reachable
+    layout combination had no parity coverage."""
+    dims = (8, 8, 8, 8, 8)
+    g, sa, ta = v3._choose_split(dims, 1)  # nearest footprint
+    assert g == 2 and sa is not None and len(dims) - g - 1 == 2
+    starts, steps, vals, obs = _case(dims, seed=23)
+    a = v3.eval_regular(dims, starts, steps, vals, obs, "nearest", True)
+    b = ops.nearest.nearest_regular(dims, starts, steps, vals, obs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # linear/cubic at the same dims run unsplit with m=2 (next_axis==1
+    # merged tail after a plain MXU stage)
+    for method, ref in [
+        ("linear", lambda: ops.linear.linear_regular(dims, starts, steps, vals, obs)),
+        ("cubic", lambda: ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True)),
+    ]:
+        out = v3.eval_regular(dims, starts, steps, vals, obs, method, True, 6)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref()), rtol=1e-4, atol=1e-4
+        )
