@@ -1,0 +1,145 @@
+"""Hardware validation sweep: every fused-engine configuration vs the
+gather tree on the real TPU.
+
+Compact end-of-round confidence check (the CPU test suite runs the same
+parity in interpret mode; this verifies the Mosaic-compiled kernels on
+hardware). Covers methods x grid kinds x 2-8D x precision modes, small
+query batches for speed. Prints one PASS/FAIL line per configuration and
+exits nonzero on any failure.
+
+Run: PYTHONPATH=/root/repo python scripts/hw_validate.py
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interpn_tpu.ops import cubic as gc
+from interpn_tpu.ops import linear as gl
+from interpn_tpu.ops import nearest as gn
+from interpn_tpu.ops import pallas_df64 as pdf
+from interpn_tpu.ops import pallas_v3 as v3
+
+N = 1 << 14
+SHAPES = [
+    (8, 12),
+    (20, 20, 20),
+    (100, 100, 100),
+    (12, 10, 14),
+    (20, 20, 20, 20),
+    (8, 8, 8, 8, 8),
+    (6,) * 6,
+    (4,) * 7,
+    (4,) * 8,
+]
+# (method, gather_fn, tolerance for exact mode)
+METHODS = [
+    ("linear", lambda d, s, p, v, o, g: (
+        gl.linear_regular(d, s, p, v, o) if g is None else gl.linear_rectilinear(g, v, o)
+    ), 5e-5),
+    ("cubic", lambda d, s, p, v, o, g: (
+        gc.cubic_regular(d, s, p, v, o, True) if g is None
+        else gc.cubic_rectilinear(g, v, o, True)
+    ), 5e-5),
+    ("nearest", lambda d, s, p, v, o, g: (
+        gn.nearest_regular(d, s, p, v, o) if g is None else gn.nearest_rectilinear(g, v, o)
+    ), 0.0),
+]
+
+
+def run() -> int:
+    assert jax.default_backend() == "tpu", "run on the real TPU"
+    rng = np.random.default_rng(0)
+    failures = 0
+    for dims in SHAPES:
+        nd = len(dims)
+        starts = jnp.asarray(rng.uniform(-1, 1, nd), jnp.float32)
+        steps = jnp.asarray(rng.uniform(0.3, 1.0, nd), jnp.float32)
+        vals = jnp.asarray(rng.standard_normal(math.prod(dims)), jnp.float32)
+        grids = tuple(
+            jnp.asarray(np.sort(rng.uniform(0, 10, d)) + np.arange(d) * 1e-3,
+                        jnp.float32)
+            for d in dims
+        )
+        obs_reg = tuple(
+            jnp.asarray(
+                rng.uniform(float(starts[k]) - 2 * float(steps[k]),
+                            float(starts[k]) + float(steps[k]) * (dims[k] + 1), N)
+                .astype(np.float32)
+            )
+            for k in range(nd)
+        )
+        obs_rect = tuple(
+            jnp.asarray(rng.uniform(float(g[0]) - 1, float(g[-1]) + 1, N)
+                        .astype(np.float32))
+            for g in grids
+        )
+        for method, gfn, tol_exact in METHODS:
+            if not v3.supported(dims, jnp.float32, method):
+                continue
+            if method == "nearest" and nd > 6:
+                continue
+            for kind in ("regular", "rectilinear"):
+                obs = obs_reg if kind == "regular" else obs_rect
+                ref = np.asarray(
+                    gfn(dims, starts, steps, vals, obs,
+                        None if kind == "regular" else grids)
+                )
+                scale = max(float(np.max(np.abs(ref))), 1e-30)
+                for passes, tol in ((6, tol_exact), (4, 2e-3)):
+                    if method == "nearest" and passes != 6:
+                        continue
+                    if kind == "regular":
+                        out = v3.eval_regular(
+                            dims, starts, steps, vals, obs, method, True, passes
+                        )
+                    else:
+                        out = v3.eval_rectilinear_pre(
+                            grids, vals, obs, method, True, passes
+                        )
+                    err = float(np.max(np.abs(np.asarray(out) - ref))) / scale
+                    ok = (err == 0.0) if tol == 0.0 else (err <= tol)
+                    status = "PASS" if ok else "FAIL"
+                    failures += 0 if ok else 1
+                    print(
+                        f"{status} {'x'.join(map(str, dims)):>16s} {method:7s}"
+                        f" {kind:11s} p{passes} relerr {err:.2e}",
+                        flush=True,
+                    )
+    # df64 spot checks (f64 double-float engine vs f64 gather; x64 is
+    # already on — importing interpn_tpu enables it)
+    for dims, method in (((20, 20, 20), "linear"), ((12, 10, 14), "cubic")):
+        nd = len(dims)
+        starts = jnp.asarray(rng.uniform(-1, 1, nd))
+        steps = jnp.asarray(rng.uniform(0.3, 1.0, nd))
+        vals = jnp.asarray(rng.standard_normal(math.prod(dims)))
+        obs = tuple(
+            jnp.asarray(rng.uniform(float(starts[k]) - 1,
+                                    float(starts[k]) + float(steps[k]) * dims[k], N))
+            for k in range(nd)
+        )
+        out = np.asarray(pdf.eval_regular(dims, starts, steps, vals, obs, method))
+        ref = np.asarray(
+            gl.linear_regular(dims, starts, steps, vals, obs)
+            if method == "linear"
+            else gc.cubic_regular(dims, starts, steps, vals, obs, True)
+        )
+        err = float(np.max(np.abs(out - ref))) / max(float(np.max(np.abs(ref))), 1e-30)
+        ok = err <= 1e-12
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
+              f"{method:7s} df64        relerr {err:.2e}", flush=True)
+    print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if run() else 0)
