@@ -168,26 +168,44 @@ DEVICE_TIMEOUT_S = int(os.environ.get("INTERPN_TPU_BENCH_TIMEOUT", "420"))
 def _device_headline_watchdog():
     """Run the device headline in a subprocess with a hard timeout.
 
-    The relay-attached TPU in this image occasionally wedges for many
-    minutes; a benchmark that can hang is worse than a lower number. On
-    timeout or failure, fall back to the native CPU path (which is the
-    default engine for host data anyway)."""
+    The relay-attached TPU in this image occasionally wedges for several
+    minutes (typically after killed device processes); a benchmark that
+    can hang is worse than a lower number. Wedges clear on their own, so
+    one timed-out attempt gets a second chance after a cooldown before
+    falling back to the native CPU path (the default engine for host data
+    anyway)."""
     import subprocess
 
-    try:
-        res = subprocess.run(
-            [sys.executable, __file__, "--device-child"],
-            capture_output=True,
-            timeout=DEVICE_TIMEOUT_S,
-            text=True,
-        )
-        for line in res.stdout.splitlines():
-            if line.startswith("QPS "):
-                return float(line.split()[1]), "3d_linear_regular_f32_qps_1e6_obs"
-    except subprocess.TimeoutExpired:
-        print(f"# device bench exceeded {DEVICE_TIMEOUT_S}s; killed", file=sys.stderr)
-    except Exception as e:
-        print(f"# device bench failed: {type(e).__name__}", file=sys.stderr)
+    # second attempt gets a longer budget: a degraded relay that misses the
+    # first window usually completes given ~25% more time after the cooldown
+    for attempt, budget in enumerate((DEVICE_TIMEOUT_S, DEVICE_TIMEOUT_S + 120)):
+        try:
+            res = subprocess.run(
+                [sys.executable, __file__, "--device-child"],
+                capture_output=True,
+                timeout=budget,
+                text=True,
+            )
+            for line in res.stdout.splitlines():
+                if line.startswith("QPS "):
+                    return (
+                        float(line.split()[1]),
+                        "3d_linear_regular_f32_qps_1e6_obs",
+                    )
+            print(
+                f"# device bench attempt {attempt + 1} produced no result",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# device bench attempt {attempt + 1} exceeded {budget}s;"
+                " killed",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# device bench failed: {type(e).__name__}", file=sys.stderr)
+        if attempt == 0:
+            time.sleep(90)  # wedge cooldown before the retry
     qps = bench_native("linear", N_OBS) or 0.0
     return qps, "3d_linear_regular_f64_qps_1e6_obs_native_cpu"
 
