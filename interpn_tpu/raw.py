@@ -170,6 +170,14 @@ def _check_bounds_rectilinear(grids, obs, atol):
 # ---------------------------------------------------------------------------
 
 
+def _require(cond, msg):
+    """-O-proof assertion: these checks mirror the reference's RUST-side
+    errors (mapped to PyAssertionError by PyO3), which survive python -O;
+    plain asserts would not."""
+    if not cond:
+        raise AssertionError(msg)
+
+
 def _as_dims(dims) -> tuple[int, ...]:
     return tuple(int(d) for d in np.asarray(dims).ravel())
 
@@ -218,28 +226,29 @@ def _size(x) -> int:
 
 def _validate_regular(dims, starts, steps, vals, obs, out, *, min_size, size_msg):
     ndims = len(dims)
-    assert len(starts) == ndims and len(steps) == ndims and len(obs) == ndims, (
-        "Dimension mismatch"
+    _require(
+        len(starts) == ndims and len(steps) == ndims and len(obs) == ndims,
+        "Dimension mismatch",
     )
-    assert _size(vals) == math.prod(dims), "Dimension mismatch"
-    assert all(d >= min_size for d in dims), size_msg
+    _require(_size(vals) == math.prod(dims), "Dimension mismatch")
+    _require(all(d >= min_size for d in dims), size_msg)
     steps_np = np.asarray(steps)  # (ndims,) — negligible transfer
-    assert bool(np.all(steps_np > 0)), "All grids must be monotonically increasing"
+    _require(bool(np.all(steps_np > 0)), "All grids must be monotonically increasing")
     n = _size(out)  # out is mandatory (dtype check already rejected None)
-    assert all(_size(x) == n for x in obs), "Dimension mismatch"
+    _require(all(_size(x) == n for x in obs), "Dimension mismatch")
 
 
 def _validate_rectilinear(grids, vals, obs, out, *, min_size, size_msg):
     ndims = len(grids)
-    assert len(obs) == ndims, "Dimension mismatch"
+    _require(len(obs) == ndims, "Dimension mismatch")
     dims = tuple(_size(g) for g in grids)
-    assert _size(vals) == math.prod(dims), "Dimension mismatch"
-    assert all(d >= min_size for d in dims), size_msg
+    _require(_size(vals) == math.prod(dims), "Dimension mismatch")
+    _require(all(d >= min_size for d in dims), size_msg)
     for g in grids:
         g0, g1 = np.asarray(g[:2])  # first two entries only, as in the reference
-        assert g1 > g0, "All grids must be monotonically increasing"
+        _require(g1 > g0, "All grids must be monotonically increasing")
     n = _size(out)  # out is mandatory (dtype check already rejected None)
-    assert all(_size(x) == n for x in obs), "Dimension mismatch"
+    _require(all(_size(x) == n for x in obs), "Dimension mismatch")
 
 
 def _raise_unrep(bad):
@@ -317,8 +326,8 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
         dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
     )
     dims = _as_dims(dims)
-    assert 1 <= len(dims), "Dimension mismatch"
-    assert len(dims) <= 8, _MAX_DIMS_MSG
+    _require(1 <= len(dims), "Dimension mismatch")
+    _require(len(dims) <= 8, _MAX_DIMS_MSG)
     _validate_regular(
         dims, starts, steps, vals, obs, out,
         min_size=2, size_msg="All grids must have at least two entries",
@@ -348,8 +357,8 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
     _check_eval_dtypes(
         dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
     )
-    assert 1 <= len(grids), "Dimension mismatch"
-    assert len(grids) <= 8, _MAX_DIMS_MSG
+    _require(1 <= len(grids), "Dimension mismatch")
+    _require(len(grids) <= 8, _MAX_DIMS_MSG)
     _validate_rectilinear(
         grids, vals, obs, out,
         min_size=2, size_msg="All grids must have at least 2 entries",
@@ -379,8 +388,8 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
         dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
     )
     dims = _as_dims(dims)
-    assert 1 <= len(dims), "Dimension mismatch"
-    assert len(dims) <= 6, "Dimension exceeds maximum (6)."
+    _require(1 <= len(dims), "Dimension mismatch")
+    _require(len(dims) <= 6, "Dimension exceeds maximum (6).")
     _validate_regular(
         dims, starts, steps, vals, obs, out,
         min_size=2, size_msg="All grids must have at least two entries",
@@ -410,8 +419,8 @@ def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
     _check_eval_dtypes(
         dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
     )
-    assert 1 <= len(grids), "Dimension mismatch"
-    assert len(grids) <= 6, "Dimension exceeds maximum (6)."
+    _require(1 <= len(grids), "Dimension mismatch")
+    _require(len(grids) <= 6, "Dimension exceeds maximum (6).")
     _validate_rectilinear(
         grids, vals, obs, out,
         min_size=2, size_msg="All grids must have at least 2 entries",
@@ -443,8 +452,8 @@ def _interpn_cubic_regular(
         dtype, out, obs, [("starts", starts), ("steps", steps), ("vals", vals)]
     )
     dims = _as_dims(dims)
-    assert 1 <= len(dims), "Dimension mismatch"
-    assert len(dims) <= 8, _MAX_DIMS_MSG
+    _require(1 <= len(dims), "Dimension mismatch")
+    _require(len(dims) <= 8, _MAX_DIMS_MSG)
     _validate_regular(
         dims, starts, steps, vals, obs, out,
         min_size=4, size_msg="All grids must have at least four entries",
@@ -480,8 +489,8 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
     _check_eval_dtypes(
         dtype, out, obs, [("grids", g) for g in grids] + [("vals", vals)]
     )
-    assert 1 <= len(grids), "Dimension mismatch"
-    assert len(grids) <= 8, _MAX_DIMS_MSG
+    _require(1 <= len(grids), "Dimension mismatch")
+    _require(len(grids) <= 8, _MAX_DIMS_MSG)
     _validate_rectilinear(
         grids, vals, obs, out,
         min_size=4, size_msg="All grids must have at least 4 entries",
@@ -517,8 +526,9 @@ def _check_bounds_regular_host(dtype, dims, starts, steps, obs, atol, out):
     _check_bounds_dtypes(dtype, out, obs, [("starts", starts), ("steps", steps)])
     dims = _as_dims(dims)
     ndims = len(dims)
-    assert len(obs) == ndims and np.asarray(out).size == ndims, (
-        "Dimension mismatch"
+    _require(
+        len(obs) == ndims and np.asarray(out).size == ndims,
+        "Dimension mismatch",
     )
     if (
         isinstance(out, np.ndarray)
@@ -547,10 +557,11 @@ def check_bounds_regular_f32(dims, starts, steps, obs, atol, out):
 def _check_bounds_rectilinear_host(dtype, grids, obs, atol, out):
     _check_bounds_dtypes(dtype, out, obs, [("grids", g) for g in grids])
     ndims = len(grids)
-    assert len(obs) == ndims and np.asarray(out).size == ndims, (
-        "Dimension mismatch"
+    _require(
+        len(obs) == ndims and np.asarray(out).size == ndims,
+        "Dimension mismatch",
     )
-    assert all(np.asarray(g).size > 0 for g in grids), "Dimension mismatch"
+    _require(all(np.asarray(g).size > 0 for g in grids), "Dimension mismatch")
     if (
         isinstance(out, np.ndarray)
         and native.use_native(_size(obs[0]))
