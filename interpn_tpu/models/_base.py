@@ -156,6 +156,28 @@ class InterpolatorBase(BaseModel):
         if not self._grid_ok:
             raise AssertionError(self._MIN_GRID_MSG)
 
+    def _check_eval_dtypes(self, obs, out=None):
+        """Reference parity: the wrapper classes hand obs/out straight to
+        monomorphized kernels, so a float array of the OTHER width raises
+        TypeError (PyO3's `PyReadonlyArray1<T>` extraction refuses it,
+        `src/python.rs:58-80`) instead of silently casting. Non-array
+        inputs (lists, scalars, int arrays) remain accepted and are
+        converted — a documented extension of the class API."""
+        want = np.dtype(self._dtype)
+        pairs = [("obs", o) for o in obs]
+        if out is not None:
+            pairs.append(("out", out))
+        for name, a in pairs:
+            dt = getattr(a, "dtype", None)
+            if dt is None:
+                continue
+            dt = np.dtype(dt)
+            if dt != want and dt in (np.float32, np.float64):
+                raise TypeError(
+                    f"argument '{name}': expected a {want.name} array,"
+                    f" got {dt.name}"
+                )
+
     def _eval_device_full(self, dev, obs_j):
         """(result, unrepresentable_flag_or_None). Regular-grid kernels
         return the flag (see raw._unrep_flag); rectilinear never error
@@ -266,6 +288,7 @@ class InterpolatorBase(BaseModel):
         self._check_grid_sizes()
         out_inner = out if out is not None else np.zeros_like(obs[0])
         self._check_obs_sizes(obs, out_inner)
+        self._check_eval_dtypes(obs, out_inner)
         nat = self._native
         if nat is None:
             object.__setattr__(self, "_native", self._prepare_native() or False)

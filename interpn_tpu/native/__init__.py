@@ -190,6 +190,20 @@ def _obs_ptrs(obs, dtype):
     return arrs, ptrs
 
 
+def _obs_dtype_mismatch(obs, dtype) -> bool:
+    """True when any observation input is a float array of the OTHER width.
+    The prepared-call closures fall through on this so the class layer's
+    general path raises the reference-parity TypeError (the monomorphized
+    PyO3 functions refuse such inputs, `src/python.rs:58-80`) instead of
+    `_c` silently casting. Non-float inputs (lists, scalars, int arrays)
+    keep converting — a documented extension of the class API."""
+    for o in obs:
+        dt = getattr(o, "dtype", None)
+        if dt is not None and dt != dtype and dt in (np.float32, np.float64):
+            return True
+    return False
+
+
 def _fn_addr(fn) -> int:
     return ctypes.cast(fn, _VOIDP).value
 
@@ -238,6 +252,8 @@ def prepare_linear_regular(dims, starts, steps, vals, dtype):
     def call(obs, out) -> bool:
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
+        if _obs_dtype_mismatch(obs, dtype):
+            return False  # general path raises the reference TypeError
         arrs, ptrs = _obs_ptrs(obs, dtype)
         # the kernel loops n = out.size points over every obs pointer:
         # mismatched lengths would read out of bounds / truncate silently
@@ -274,6 +290,8 @@ def prepare_nearest_regular(dims, starts, steps, vals, dtype):
     def call(obs, out) -> bool:
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
+        if _obs_dtype_mismatch(obs, dtype):
+            return False  # general path raises the reference TypeError
         arrs, ptrs = _obs_ptrs(obs, dtype)
         # the kernel loops n = out.size points over every obs pointer:
         # mismatched lengths would read out of bounds / truncate silently
@@ -314,6 +332,8 @@ def prepare_cubic_regular(dims, starts, steps, vals, linearize, dtype):
     def call(obs, out) -> bool:
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
+        if _obs_dtype_mismatch(obs, dtype):
+            return False  # general path raises the reference TypeError
         arrs, ptrs = _obs_ptrs(obs, dtype)
         # the kernel loops n = out.size points over every obs pointer:
         # mismatched lengths would read out of bounds / truncate silently
@@ -353,6 +373,8 @@ def _prepare_rect(fn_name_64, fn_name_32, max_dims, grids, vals, dtype, extra=()
     def call(obs, out) -> bool:
         if out.dtype != dtype:
             return False  # raw pointer write would bit-reinterpret `out`
+        if _obs_dtype_mismatch(obs, dtype):
+            return False  # general path raises the reference TypeError
         arrs, ptrs = _obs_ptrs(obs, dtype)
         # the kernel loops n = out.size points over every obs pointer:
         # mismatched lengths would read out of bounds / truncate silently

@@ -182,6 +182,10 @@ struct LinearRegular {
         w[k][1] = t;
         base += loc * stride[k];
       }
+      // Stop at the first unrepresentable point like the reference's
+      // per-point Result propagation (`src/multilinear/regular.rs:268-283`);
+      // `out` past this index is unspecified on the error path.
+      if (bad) return RC_UNREPRESENTABLE;
       // Per-axis weight product; innermost axis (stride 1) as a contiguous
       // 2-point dot so the compiler vectorizes the loads.
       constexpr int NOUTER = 1 << (N - 1);
@@ -199,7 +203,7 @@ struct LinearRegular {
       }
       out[i] = acc;
     }
-    return bad ? RC_UNREPRESENTABLE : 0;
+    return 0;
   }
 };
 
@@ -358,6 +362,8 @@ struct CubicRegular {
         t[k] = (x - (starts[k] + steps[k] * (T)(loc + 1))) / steps[k];
         base += loc * stride[k];
       }
+      // Stop at the first unrepresentable point (see LinearRegular).
+      if (bad) return RC_UNREPRESENTABLE;
       // Value-tree evaluation, matching the reference's kernels
       // (src/multicubic/regular.rs:364-422 flattened, *_recursive.rs for
       // 5-8D — same association order) and this library's JAX gather path:
@@ -378,7 +384,7 @@ struct CubicRegular {
       }
       out[i] = c[0];
     }
-    return bad ? RC_UNREPRESENTABLE : 0;
+    return 0;
   }
 };
 
@@ -463,9 +469,11 @@ struct NearestRegular {
         const T dt = (x - (starts[k] + steps[k] * (T)loc)) / steps[k];
         flat += (loc + (dt <= (T)0.5 ? 0 : 1)) * stride[k];
       }
+      // Stop at the first unrepresentable point (see LinearRegular).
+      if (bad) return RC_UNREPRESENTABLE;
       out[i] = vals[flat];
     }
-    return bad ? RC_UNREPRESENTABLE : 0;
+    return 0;
   }
 };
 

@@ -65,8 +65,9 @@ MAX_PALLAS_GRID = {
     "linear": 3 << 18,
     # nearest gather fetches ONE element/query at 93 Mq/s; the pallas
     # kernel runs 567 Mq/s on an 8k-cell grid but its cost grows with
-    # prod(dims) — measured crossover ~50k cells, capped conservatively
-    "nearest": 1 << 15,
+    # prod(dims) — cap at the measured ~50k-cell crossover (v5e,
+    # benches/exp_v3.py; re-checked round 3)
+    "nearest": 50_000,
 }
 MAX_PALLAS_GRID_RECT = 1 << 21
 

@@ -58,6 +58,47 @@ def compiled_hlo(fn, *args, **kwargs) -> str:
     return jax.jit(fn).lower(*args, **kwargs).compile().as_text()
 
 
+def _leaf_event_total(log_dir: str, match: str) -> float:
+    """Microseconds summed over LEAF matching events in a profiler dump.
+
+    The trace nests (a jit parent event wraps each launch event, under a
+    different name): keep only matching events that do not strictly contain
+    another matching event on the same (pid, tid) lane, and sum them.
+    Parents are excluded (no double-counting); sequential sibling kernels —
+    same-named chunked launches or a differently-named tail kernel — all
+    count."""
+    import glob
+    import gzip
+    import json
+
+    events: list = []
+    for f in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f) as fh:
+            for e in json.load(fh).get("traceEvents", []):
+                if e.get("ph") == "X" and match in e.get("name", ""):
+                    events.append(
+                        (
+                            (e.get("pid"), e.get("tid")),
+                            float(e.get("ts", 0.0)),
+                            float(e.get("dur", 0.0)),
+                        )
+                    )
+
+    def _is_parent(ev):
+        lane, ts, dur = ev
+        # strict containment only: coincident duplicates are not parents of
+        # each other (else both would vanish)
+        return any(
+            o[0] == lane
+            and o[1] >= ts
+            and o[1] + o[2] <= ts + dur
+            and (o[1] > ts or o[1] + o[2] < ts + dur)
+            for o in events
+        )
+
+    return sum(ev[2] for ev in events if not _is_parent(ev))
+
+
 def device_kernel_time(
     fn, *, match: str = "_pallas", log_dir: str = "/tmp/interpn_tpu_ktrace"
 ) -> float:
@@ -68,10 +109,11 @@ def device_kernel_time(
     latency would see, independent of this environment's large relay
     dispatch overhead (which end-to-end timing must amortize over a scan —
     see device_timeit). `fn` should block on its result. Durations are
-    summed per event name and the largest per-name total is reported, so
-    chunked evaluations (several same-named pallas launches per call)
-    report their full device time without double-counting the nesting jit
-    parent event.
+    summed over LEAF events (matching events that contain no other matching
+    event on the same trace lane), so chunked evaluations (several
+    same-named launches) and multi-kernel evals (a main kernel plus a
+    differently-named tail kernel) both report their full device time
+    without double-counting nesting jit parent events.
 
     Raises RuntimeError when no matching device event was captured. Two
     known causes: the tunneled profiler occasionally drops device traces
@@ -79,9 +121,6 @@ def device_kernel_time(
     input buffers — if fn() reuses the exact argument buffers of the warm
     call and the relay serves it from cache, nothing runs on device. Build
     fn over inputs not evaluated before the call when in doubt."""
-    import glob
-    import gzip
-    import json
     import shutil
 
     fn()  # compile + warm outside the trace
@@ -91,20 +130,7 @@ def device_kernel_time(
         fn()
     finally:
         jax.profiler.stop_trace()
-    # The trace nests (a jit parent event wraps each launch event, under a
-    # different name): sum durations WITHIN each event name (collects every
-    # chunked launch) and report the largest per-name total (avoids
-    # double-counting parent+child).
-    by_name: dict = {}
-    for f in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
-        with gzip.open(f) as fh:
-            for e in json.load(fh).get("traceEvents", []):
-                if e.get("ph") == "X" and match in e.get("name", ""):
-                    name = e["name"]
-                    by_name[name] = by_name.get(name, 0.0) + float(
-                        e.get("dur", 0.0)
-                    )
-    total = max(by_name.values(), default=0.0)
+    total = _leaf_event_total(log_dir, match)
     if total == 0.0:
         raise RuntimeError(
             f"no device event matching {match!r} captured — profiler "

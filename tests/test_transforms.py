@@ -214,3 +214,40 @@ def test_grad_never_selects_pallas(monkeypatch):
     # plain jit still selects pallas
     jax.make_jaxpr(f)(jnp.float32(1.0))
     assert "pallas" in seen, seen
+
+
+def test_leaf_event_total_sums_siblings_not_parents(tmp_path):
+    """device_kernel_time's trace accounting (ADVICE r2 #3): chunked
+    same-named launches AND differently-named sibling kernels all count;
+    the nesting jit parent event does not; coincident duplicates survive."""
+    import gzip
+    import json
+
+    from interpn_tpu.utils.profiling import _leaf_event_total
+
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "X", "name": "jit__pallas_wrap", "pid": 1, "tid": 1, "ts": 0, "dur": 100},
+        {"ph": "X", "name": "_pallas_main", "pid": 1, "tid": 1, "ts": 5, "dur": 30},
+        {"ph": "X", "name": "_pallas_main", "pid": 1, "tid": 1, "ts": 40, "dur": 30},
+        {"ph": "X", "name": "_pallas_tail", "pid": 1, "tid": 1, "ts": 75, "dur": 10},
+        # a different lane must not be treated as a parent of lane 1 events
+        {"ph": "X", "name": "_pallas_other_lane", "pid": 1, "tid": 2, "ts": 0, "dur": 7},
+        # non-matching events are ignored entirely
+        {"ph": "X", "name": "copy_done", "pid": 1, "tid": 1, "ts": 6, "dur": 2},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    assert _leaf_event_total(str(tmp_path), "_pallas") == 30 + 30 + 10 + 7
+
+    # coincident duplicates: neither vanishes
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump(
+            {"traceEvents": [
+                {"ph": "X", "name": "_pallas_a", "pid": 1, "tid": 1, "ts": 0, "dur": 5},
+                {"ph": "X", "name": "_pallas_a", "pid": 1, "tid": 1, "ts": 0, "dur": 5},
+            ]},
+            f,
+        )
+    assert _leaf_event_total(str(tmp_path), "_pallas") == 10

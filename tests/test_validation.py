@@ -253,3 +253,41 @@ class TestRawDtypeStrictness:
             [np.full(3, 1.5, np.float32), np.full(3, 2.5, np.float32)], out,
         )
         assert np.isfinite(out).all()
+
+
+class TestClassDtypeStrictness:
+    """Class-level parity with the raw layer's dtype refusal (ADVICE r2):
+    the reference's classes hand obs straight to the monomorphized PyO3
+    functions, so a float array of the other width raises TypeError at the
+    class layer too — never a silent cast."""
+
+    def _model(self, dtype):
+        return it.MultilinearRegular.new(
+            [4, 4], np.zeros(2, dtype), np.ones(2, dtype),
+            np.arange(16, dtype=dtype),
+        )
+
+    def test_eval_refuses_other_width_obs(self):
+        m64 = self._model(np.float64)
+        obs32 = [np.linspace(0, 3, 7, dtype=np.float32)] * 2
+        with pytest.raises(TypeError, match="expected a float64 array"):
+            m64.eval(obs32, np.zeros(7))
+        m32 = self._model(np.float32)
+        obs64 = [np.linspace(0, 3, 7, dtype=np.float64)] * 2
+        with pytest.raises(TypeError, match="expected a float32 array"):
+            m32.eval(obs64, np.zeros(7, np.float32))
+
+    def test_eval_refuses_other_width_out(self):
+        m32 = self._model(np.float32)
+        obs32 = [np.linspace(0, 3, 7, dtype=np.float32)] * 2
+        with pytest.raises(TypeError, match="argument 'out'"):
+            m32.eval_unchecked(obs32, np.zeros(7, np.float64))
+
+    def test_matching_dtypes_and_list_obs_still_pass(self):
+        m64 = self._model(np.float64)
+        obs = [np.linspace(0, 3, 7)] * 2
+        out = m64.eval(obs)
+        assert out.dtype == np.float64
+        # lists remain accepted (documented extension; converts to f64)
+        out2 = m64.eval([list(o) for o in obs])
+        np.testing.assert_allclose(out2, out, rtol=1e-15)
