@@ -23,9 +23,9 @@ class MulticubicRectilinear(RectilinearGridMixin, InterpolatorBase):
     Same Hermite construction as MulticubicRegular, with derivative estimates
     from distance-weighted nonuniform centered differences.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous; grids must have at least 4 entries and be
-    monotonically increasing.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32; each grid needs at least 4 strictly
+    increasing entries (the 4-point stencil's floor).
     """
 
     _MIN_GRID = 4
@@ -42,11 +42,11 @@ class MulticubicRectilinear(RectilinearGridMixin, InterpolatorBase):
         vals: NDArray,
         linearize_extrapolation: bool = True,
     ) -> "MulticubicRectilinear":
-        """Initialize the interpolator from per-dimension coordinate arrays.
+        """Build a model from per-axis coordinate arrays and a value table.
 
         Args:
-            grids: 1D arrays of grid coordinate values.
-            vals: Values at grid points in C-style ordering.
+            grids: per-axis coordinate arrays, each strictly increasing.
+            vals: grid-point value table, flattened in C (row-major) order.
             linearize_extrapolation: Whether to fall back to linear
                 extrapolation with the boundary slope outside the grid
         """

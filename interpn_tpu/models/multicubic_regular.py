@@ -26,8 +26,9 @@ class MulticubicRegular(RegularGridMixin, InterpolatorBase):
     `linearize_extrapolation` is set, dimensions under extrapolation continue
     linearly with the boundary slope.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous and have size at least 4.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32, with at least 4 points per axis (the
+    4-point stencil's floor).
     """
 
     _MIN_GRID = 4
@@ -48,14 +49,15 @@ class MulticubicRegular(RegularGridMixin, InterpolatorBase):
         vals: NDArray,
         linearize_extrapolation: bool = True,
     ) -> "MulticubicRegular":
-        """Initialize the interpolator, casting grid arrays to the dtype of
-        `vals` and flattening into contiguous storage as needed.
+        """Build a model from plain numpy inputs: arrays are flattened to
+        contiguous storage and converted to the dtype of `vals` before
+        validation.
 
         Args:
-            dims: Number of elements on each dimension of the grid
-            starts: Starting point of each dimension of the grid
-            steps: Step size on each dimension of the grid
-            vals: Values at grid points in C-style ordering
+            dims: grid point count along each axis
+            starts: first grid coordinate along each axis
+            steps: spacing between grid points along each axis
+            vals: grid-point value table, flattened in C (row-major) order
             linearize_extrapolation: Whether to fall back to linear
                 extrapolation with the boundary slope outside the grid
         """

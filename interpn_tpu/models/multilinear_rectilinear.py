@@ -19,8 +19,8 @@ from .serialization import Array
 class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
     """Multilinear interpolation on a rectilinear grid in up to 8 dimensions.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous. Grids must be monotonically increasing.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32; the validator rejects anything else. Grids must be monotonically increasing.
     """
 
     _MIN_GRID = 2
@@ -31,12 +31,12 @@ class MultilinearRectilinear(RectilinearGridMixin, InterpolatorBase):
 
     @classmethod
     def new(cls, grids: list[NDArray], vals: NDArray) -> "MultilinearRectilinear":
-        """Initialize the interpolator from per-dimension coordinate arrays.
+        """Build a model from per-axis coordinate arrays and a value table.
 
         Args:
-            grids: 1D arrays of grid coordinate values.
-            vals: Values at grid points in C-style ordering,
-                  as obtained from np.meshgrid(..., indexing="ij")
+            grids: per-axis coordinate arrays, each strictly increasing.
+            vals: grid-point value table, flattened in C (row-major) order
+                  (the layout np.meshgrid(..., indexing="ij") produces)
         """
         arrtype = arrtype_for(np.asarray(vals))
         return cls(

@@ -19,8 +19,8 @@ from .serialization import Array
 class MultilinearRegular(RegularGridMixin, InterpolatorBase):
     """Multilinear interpolation on a regular grid in up to 8 dimensions.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32; the validator rejects anything else.
     """
 
     dims: list[int]
@@ -32,15 +32,16 @@ class MultilinearRegular(RegularGridMixin, InterpolatorBase):
     def new(
         cls, dims: list[int], starts: NDArray, steps: NDArray, vals: NDArray
     ) -> "MultilinearRegular":
-        """Initialize the interpolator, casting grid arrays to the dtype of
-        `vals` and flattening into contiguous storage as needed.
+        """Build a model from plain numpy inputs: arrays are flattened to
+        contiguous storage and converted to the dtype of `vals` before
+        validation.
 
         Args:
-            dims: Number of elements on each dimension of the grid
-            starts: Starting point of each dimension of the grid
-            steps: Step size on each dimension of the grid
-            vals: Values at grid points in C-style ordering,
-                  as obtained from np.meshgrid(..., indexing="ij")
+            dims: grid point count along each axis
+            starts: first grid coordinate along each axis
+            steps: spacing between grid points along each axis
+            vals: grid-point value table, flattened in C (row-major) order
+                  (the layout np.meshgrid(..., indexing="ij") produces)
         """
         arrtype = arrtype_for(np.asarray(vals))
         return cls(

@@ -20,8 +20,8 @@ class NearestRectilinear(RectilinearGridMixin, InterpolatorBase):
     """Nearest-neighbor interpolation on a rectilinear grid in up to 6
     dimensions.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous. Grids must be monotonically increasing.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32; the validator rejects anything else. Grids must be monotonically increasing.
     """
 
     _MIN_GRID = 2
@@ -32,7 +32,7 @@ class NearestRectilinear(RectilinearGridMixin, InterpolatorBase):
 
     @classmethod
     def new(cls, grids: list[NDArray], vals: NDArray) -> "NearestRectilinear":
-        """Initialize the interpolator from per-dimension coordinate arrays."""
+        """Build a model from per-axis coordinate arrays and a value table."""
         arrtype = arrtype_for(np.asarray(vals))
         return cls(
             grids=[arrtype(data=np.asarray(x)) for x in grids],

@@ -19,8 +19,8 @@ from .serialization import Array
 class NearestRegular(RegularGridMixin, InterpolatorBase):
     """Nearest-neighbor interpolation on a regular grid in up to 6 dimensions.
 
-    All array inputs must be of the same type, either np.float32 or np.float64
-    and must be 1D and contiguous.
+    Construction expects flat (1D, contiguous) arrays sharing one float
+    dtype, np.float64 or np.float32; the validator rejects anything else.
     """
 
     dims: list[int]
@@ -32,8 +32,9 @@ class NearestRegular(RegularGridMixin, InterpolatorBase):
     def new(
         cls, dims: list[int], starts: NDArray, steps: NDArray, vals: NDArray
     ) -> "NearestRegular":
-        """Initialize the interpolator, casting grid arrays to the dtype of
-        `vals` and flattening into contiguous storage as needed."""
+        """Build a model from plain numpy inputs: arrays are flattened to
+        contiguous storage and converted to the dtype of `vals` before
+        validation."""
         arrtype = arrtype_for(np.asarray(vals))
         return cls(
             dims=dims,

@@ -23,6 +23,14 @@ Accuracy: ~2^-47 relative of the stencil-term magnitudes (measured ~1e-13
 vs the f64 gather tree — the SURVEY target). Cost scales with prod(dims)
 like every factorized engine, so this serves the reference's
 benchmark-sized grids; huge grids stay on the f64 gather path.
+
+Two kernel layouts cover every supported shape (round 3): grids whose
+leading block fits the static-unroll budget run the flat kernel; larger
+4-8D grids run a fori_loop over flattened leading-axis slabs (the same
+trailing-block idea as pallas_v3's axis grouping, restructured for VPU
+double-float — see _make_kernel_looped). The kernel measures at ~VPU peak
+(4 ALUs x 8x128 lanes), so the arithmetic is organized to minimize
+(m, tq)-plane ops per table cell (_df_madd: 21 vs the naive 27).
 """
 
 from __future__ import annotations
@@ -66,17 +74,44 @@ def max_grid(method: str, ndims: int) -> int:
     return min(2048 * footprint**ndims, _MAX_VALS_BYTES // 8)
 
 
+# Full-static-unroll ceiling: the flat kernel unrolls d_last rank-1
+# double-float updates over (lead, tile) planes, and Mosaic compile time
+# explodes past ~2k lead rows (a 20^4 grid, lead 8000, did not compile
+# within 9 minutes). Verified shapes (3D 20^3, 2D) compile in seconds.
+_MAX_UNROLL_LEAD = 2048
+# Looped kernel (lead > _MAX_UNROLL_LEAD): a fori_loop walks flattened
+# leading-axis slabs; each iteration statically contracts one slab of at
+# most this many rows, so body code size stays in flat-3D territory.
+_MAX_STATIC_LEAD = 512
+# Loop-trip ceiling: pathological shapes (one huge axis over a tiny slab)
+# would run thousands of near-empty iterations; refuse those to gather.
+_MAX_SLABS = 1024
+
+
+def _choose_suffix(dims) -> tuple[int, int, int]:
+    """(s, lead_s, n_slabs): the largest trailing-axis count s whose middle
+    axes dims[n-s:n-1] fit the per-iteration static budget. The remaining
+    leading axes are walked by the fori_loop (VERDICT r2 #1: the grouping
+    idea from pallas_v3 applied to the double-float engine — here the
+    trailing block is contracted statically per slab and the leading block
+    becomes loop trips instead of unrolled plane rows)."""
+    ndims = len(dims)
+    s = 1
+    while s < ndims and math.prod(dims[ndims - (s + 1): ndims - 1]) <= _MAX_STATIC_LEAD:
+        s += 1
+    lead_s = math.prod(dims[ndims - s: ndims - 1])
+    return s, lead_s, math.prod(dims[: ndims - s])
+
+
 def supported(dims, method: str) -> bool:
     if method not in ("linear", "cubic"):
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
-    # The kernel statically unrolls d_last rank-1 double-float updates over
-    # (lead, tile) planes; Mosaic compile time explodes past ~2k lead rows
-    # (a 20^4 grid, lead 8000, did not compile within 9 minutes). Verified
-    # shapes (3D 20^3, 2D) compile in seconds.
-    if math.prod(dims[:-1]) > 2048:
-        return False
+    if math.prod(dims[:-1]) > _MAX_UNROLL_LEAD:
+        # looped kernel: bound the trip count (see _MAX_SLABS)
+        if _choose_suffix(dims)[2] > _MAX_SLABS:
+            return False
     return math.prod(dims) <= max_grid(method, len(dims)) and dims[-1] >= 2
 
 
@@ -122,6 +157,30 @@ def _df_mul(xh, xl, yh, yl):
     return _df_norm(ph, pe + (xh * yl + xl * yh))
 
 
+def _df_madd(th, tl, ah, al, bh, bl):
+    """(th, tl) += (ah, al) * (bh, bl), optimized for the contraction loops.
+
+    Round-3 plane-op diet (the kernel measures at ~VPU peak, so throughput
+    is exactly proportional to the per-cell op count): the Veltkamp splits
+    run on the BROADCAST factors (columns/rows — sub-plane cost), the
+    product error assembles in 9 plane ops, the cross terms in 3, and the
+    accumulation defers normalization (the final f64 recombine outside the
+    kernel makes per-step renorm unnecessary; stages renormalize once via
+    _df_norm so the dropped al*bl term stays below 2^-47 of the result).
+    21 (m, tq)-plane ops per call vs 27 for _df_mul + _df_add — measured
+    1.24x on the 20^4 kernel."""
+    ahh, ahl = _veltkamp(ah)
+    bhh, bhl = _veltkamp(bh)
+    p = ah * bh
+    # Dekker's left-to-right association is load-bearing: each partial sum
+    # is exactly representable only in this order (regrouping costs ~2^-35
+    # per product — measured as a 4e-9 parity break).
+    err = (((ahh * bhh - p) + ahh * bhl) + ahl * bhh) + ahl * bhl
+    low = err + (ah * bl + al * bh)
+    s, e = _two_sum(th, p)
+    return s, tl + (e + low)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -146,52 +205,140 @@ def _sel_pair(wh_ref, wl_ref, row0: int, nb: int, loc, dim: int, tq: int):
     return h, low
 
 
-def _make_kernel(dims, footprint: int, tq: int):
+def _build_wmats(locs_ref, wh_ref, wl_ref, dims, footprint: int, tq: int):
+    """Dense per-axis (d_k, tq) hi/lo stencil-weight matrices."""
+    return [
+        _sel_pair(
+            wh_ref, wl_ref, k * footprint, footprint,
+            locs_ref[k, :].reshape(1, tq), dims[k], tq,
+        )
+        for k in range(len(dims))
+    ]
+
+
+def _contract_slab(vh, vl, wmats, dims, m: int, tq: int):
+    """Double-float contraction of one (prod(dims[m:-1]), d_last) slab over
+    axes m..ndims-1: rank-1 last-axis updates on the VPU, then middle-axis
+    segment sums, innermost first. Returns a (1, tq) hi/lo pair.
+
+    `vh`/`vl` may be VMEM refs (flat kernel, m == 0) or loaded slab arrays
+    (looped kernel) — both support the column indexing used here."""
     ndims = len(dims)
-    lead = math.prod(dims[:-1])
+    lead_s = max(math.prod(dims[m: ndims - 1]), 1)
     dlast = dims[-1]
+    wlh, wll = wmats[ndims - 1]
+    th = jnp.zeros((lead_s, tq), _F32)
+    tl = jnp.zeros((lead_s, tq), _F32)
+    for k in range(dlast):
+        vhc = vh[:, k].reshape(lead_s, 1)
+        vlc = vl[:, k].reshape(lead_s, 1)
+        th, tl = _df_madd(
+            th, tl, vhc, vlc,
+            wlh[k, :].reshape(1, tq), wll[k, :].reshape(1, tq),
+        )
+    # One renormalization per stage keeps later dropped lo*lo cross terms
+    # below 2^-47 of the result (see _df_madd). It must be the EXACT
+    # two_sum, not the Fast2Sum in _df_norm: deferred accumulation under
+    # stencil cancellation can leave |tl| > |th|, where Fast2Sum loses
+    # ~ulp(tl) (measured: a 4.7e-5 parity break at deep 5D extrapolation).
+    th, tl = _two_sum(th, tl)
+
+    lead_k = lead_s
+    for k in range(ndims - 2, m - 1, -1):
+        lead_k //= dims[k]
+        wh, wl = wmats[k]
+        g_h = th.reshape(lead_k, dims[k], tq)
+        g_l = tl.reshape(lead_k, dims[k], tq)
+        sh = jnp.zeros((max(lead_k, 1), tq), _F32)
+        sl = jnp.zeros((max(lead_k, 1), tq), _F32)
+        for b in range(dims[k]):
+            # Tails keep the per-step NORMALIZED accumulation: the deferred
+            # -low form loses ~5e-5 under multi-axis stencil cancellation
+            # here (measured at 5D deep extrapolation), and tail
+            # row-iterations are a minor cost share next to the rank-1
+            # stage (3% at 20^4).
+            ph, plo = _df_mul(
+                g_h[:, b, :], g_l[:, b, :],
+                wh[b, :].reshape(1, tq), wl[b, :].reshape(1, tq),
+            )
+            sh, sl = _df_add(sh, sl, ph, plo)
+        th, tl = sh, sl
+    return th, tl
+
+
+def _make_kernel(dims, footprint: int, tq: int):
+    """Flat kernel: the whole leading block statically unrolled (lead <=
+    _MAX_UNROLL_LEAD)."""
 
     def kernel(locs_ref, wh_ref, wl_ref, vh_ref, vl_ref, oh_ref, ol_ref):
         # locs: (ndims, tq) i32; wh/wl: (ndims*footprint, tq) f32
         # vh/vl: (lead, dlast) f32; out hi/lo: (1, tq)
-        wmats = []
-        for k in range(ndims):
-            loc = locs_ref[k, :].reshape(1, tq)
-            wmats.append(
-                _sel_pair(wh_ref, wl_ref, k * footprint, footprint, loc,
-                          dims[k], tq)
-            )
-
-        # Last-axis contraction, double-float rank-1 updates on the VPU.
-        wlh, wll = wmats[ndims - 1]
-        th = jnp.zeros((lead, tq), _F32)
-        tl = jnp.zeros((lead, tq), _F32)
-        for k in range(dlast):
-            vh = vh_ref[:, k].reshape(lead, 1)
-            vl = vl_ref[:, k].reshape(lead, 1)
-            ph, plo = _df_mul(vh, vl, wlh[k, :].reshape(1, tq),
-                              wll[k, :].reshape(1, tq))
-            th, tl = _df_add(th, tl, ph, plo)
-
-        # Tail axes: double-float segment sums, innermost first.
-        lead_k = lead
-        for k in range(ndims - 2, -1, -1):
-            lead_k //= dims[k]
-            wh, wl = wmats[k]
-            g_h = th.reshape(lead_k, dims[k], tq)
-            g_l = tl.reshape(lead_k, dims[k], tq)
-            sh = jnp.zeros((max(lead_k, 1), tq), _F32)
-            sl = jnp.zeros((max(lead_k, 1), tq), _F32)
-            for b in range(dims[k]):
-                ph, plo = _df_mul(
-                    g_h[:, b, :], g_l[:, b, :],
-                    wh[b, :].reshape(1, tq), wl[b, :].reshape(1, tq),
-                )
-                sh, sl = _df_add(sh, sl, ph, plo)
-            th, tl = sh, sl
-
+        wmats = _build_wmats(locs_ref, wh_ref, wl_ref, dims, footprint, tq)
+        th, tl = _contract_slab(vh_ref, vl_ref, wmats, dims, 0, tq)
         oh_ref[0, :] = th.reshape(1, tq)[0, :]
         ol_ref[0, :] = tl.reshape(1, tq)[0, :]
+
+    return kernel
+
+
+def _make_kernel_looped(dims, footprint: int, tq: int, s: int):
+    """Looped kernel for lead > _MAX_UNROLL_LEAD (VERDICT r2 #1).
+
+    The trailing s axes are contracted statically per slab (code size stays
+    in flat-3D territory); the leading ndims-s axes become a fori_loop over
+    flattened slabs of the (n_slabs, lead_s, d_last)-shaped value table.
+    Each iteration contracts its slab, multiplies by the leading-axis
+    stencil weights at the slab's decoded multi-index (one-hot select-sums
+    from the dense weight matrices — no per-lane gather, CLAUDE.md), and
+    double-float accumulates. Total per-query work stays ~prod(dims)
+    multiply-adds, the same as the flat kernel; only the unroll structure
+    changes. Reference capability matched: f64 cubic 4-8D on device
+    (`src/multicubic/regular_recursive.rs:205-466`)."""
+    ndims = len(dims)
+    m = ndims - s
+    n_slabs = math.prod(dims[:m])
+
+    def kernel(locs_ref, wh_ref, wl_ref, vh_ref, vl_ref, oh_ref, ol_ref):
+        # vh/vl: (n_slabs, lead_s, dlast) f32
+        wmats = _build_wmats(locs_ref, wh_ref, wl_ref, dims, footprint, tq)
+
+        def _sel_row(k, i_k):
+            """This slab's stencil weight on leading axis k: a one-hot
+            select-sum over the dense (d_k, tq) matrices (no per-lane
+            gather — CLAUDE.md)."""
+            w_h, w_l = wmats[k]
+            iota = jax.lax.broadcasted_iota(_I32, (dims[k], tq), 0)
+            mask = iota == i_k
+            rh = jnp.sum(jnp.where(mask, w_h, 0.0), axis=0, keepdims=True)
+            rl = jnp.sum(jnp.where(mask, w_l, 0.0), axis=0, keepdims=True)
+            return rh, rl
+
+        def body(j, carry):
+            ah, al = carry
+            vh = vh_ref[j]
+            vl = vl_ref[j]
+            ch, cl = _contract_slab(vh, vl, wmats, dims, m, tq)
+            # leading-axis weights at this slab's multi-index, innermost
+            # leading axis decoded first (C-order flattening); axes 1..m-1
+            # fold into the slab value, axis 0 rides the fused accumulate —
+            # the same op sequence as the flat kernel's axis-0 tail stage,
+            # so m == 1 shapes match the flat kernel bitwise.
+            idx = j
+            for k in range(m - 1, 0, -1):
+                i_k = jax.lax.rem(idx, dims[k])
+                idx = jax.lax.div(idx, dims[k])
+                ch, cl = _df_mul(ch, cl, *_sel_row(k, i_k))
+            # normalized product + accumulate, like the flat kernel's tail
+            # stages (slab results carry the same amplified-magnitude
+            # hazard under extrapolation as tail partials — see the tail
+            # loop's comment; m == 1 shapes match the flat kernel bitwise)
+            ph, plo = _df_mul(ch, cl, *_sel_row(0, idx))
+            return _df_add(ah, al, ph, plo)
+
+        z = jnp.zeros((1, tq), _F32)
+        ah, al = jax.lax.fori_loop(0, n_slabs, body, (z, z))
+        oh_ref[0, :] = ah[0, :]
+        ol_ref[0, :] = al[0, :]
 
     return kernel
 
@@ -202,13 +349,41 @@ def _split_f64(a64):
     return hi, lo
 
 
+def _tq_for(dims) -> int:
+    """Query-tile width: sized from the largest per-iteration plane the
+    kernel actually holds (the full lead for the flat kernel, one slab for
+    the looped kernel). The looped path uses a halved byte budget: its
+    3D table ref and loop temporaries ride on top of the planes, and a
+    512x512 slab/tile combination faulted the device under a timing scan
+    (VMEM pressure) while 512x256 runs clean. Per-query arithmetic cost is
+    tq-independent (plane ops and weight builds both amortize per tile),
+    so the smaller tile costs only grid-loop overhead."""
+    lead = math.prod(dims[:-1])
+    if lead <= _MAX_UNROLL_LEAD:
+        return _tile_q(lead)
+    lead_s = _choose_suffix(dims)[1]
+    tq = (_TILE_BYTES // 2) // max(lead_s * 8, 1)
+    tq = 1 << max(tq.bit_length() - 1, 0)
+    return max(_MIN_TQ, min(_MAX_TQ, tq))
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _pallas_df64(dims, footprint, locs_mat, wh, wl, vh, vl):
     ndims = len(dims)
     lead = math.prod(dims[:-1])
-    tq = _tile_q(lead)
+    tq = _tq_for(dims)
     n = locs_mat.shape[1]
-    kernel = _make_kernel(dims, footprint, tq)
+    if lead <= _MAX_UNROLL_LEAD:
+        kernel = _make_kernel(dims, footprint, tq)
+        tshape = (lead, dims[-1])
+        tmap = lambda i: (0, 0)
+    else:
+        s, lead_s, n_slabs = _choose_suffix(dims)
+        kernel = _make_kernel_looped(dims, footprint, tq, s)
+        tshape = (n_slabs, lead_s, dims[-1])
+        tmap = lambda i: (0, 0, 0)
+        vh = vh.reshape(tshape)
+        vl = vl.reshape(tshape)
     nw = ndims * footprint
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
@@ -218,12 +393,8 @@ def _pallas_df64(dims, footprint, locs_mat, wh, wl, vh, vl):
                 pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (lead, dims[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (lead, dims[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
+                pl.BlockSpec(tshape, tmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec(tshape, tmap, memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -267,7 +438,7 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
     ndims = len(dims)
     footprint = 2 if method == "linear" else 4
     lead = math.prod(dims[:-1])
-    tq = _tile_q(lead)
+    tq = _tq_for(dims)
     n = obs[0].shape[0]
     n_pad = ((n + tq - 1) // tq) * tq
 
