@@ -1,0 +1,408 @@
+"""Exact-int32 int8 multipass MXU contraction: f64 interpolation at MXU rate.
+
+The double-float VPU engine (ops/pallas_df64.py) runs at VPU peak —
+~21 plane-ops per table cell is its hard ceiling, 1.08 Mq/s on a 20^4
+cubic grid. The MXU is ~40x faster but its f32 accumulator rounds at
+2^-24, far from the 2^-47 double-float target... in FLOAT. In INTEGER the
+MXU accumulates EXACTLY (int8 x int8 -> int32, measured on v5e in round 2
+at ~1.16x the bf16 pass rate), which turns the f64 contraction into
+fixed-point arithmetic:
+
+    V[r, k] = c_r + 2^(e_r) * sum_i A_i[r, k] 2^-(6+7i)     (A_i int8)
+    W[k, q] =       2^(f_q) * sum_j B_j[k, q] 2^-(6+7j)     (B_j int8)
+    (V @ W)[r, q] = c_r * S_w[q]
+                  + 2^(e_r + f_q) * sum_(i+j<=7) (A_i @ B_j)[r, q] 2^-(12+7(i+j))
+
+Every piece product A_i @ B_j is an int8 MXU pass with exact int32
+accumulation (overflow bound 64^2 * K < 2^31 for K <= 128k); the 35 kept
+pairs carry ~2^-47 of the row scale. Load-bearing details:
+
+* Scales are POWERS OF TWO (2^e_r per table row, 2^f_q per query), so
+  every scale multiply is exact — scaling adds zero rounding.
+* Rows are CENTERED (c_r = midrange) before scaling; the centers return
+  as c_r * S_w[q] with S_w the double-float column sum of W. Like
+  pallas_v3's split mode, the fixed-point error then rides on the LOCAL
+  row variation, not the absolute magnitude.
+* Pieces use 7-bit payloads with headroom (|piece| <= 64): the int8 clip
+  never engages and each level removes a full 7 bits (a clipped 2^7
+  radix loses a bit per level — measured 1.6e-12 vs 6.8e-15 in
+  benches/exp_int8.py phase 2).
+* Piece-pair sums group by total level s = i+j and accumulate in int32
+  (exact); groups s <= 3 convert to f32 through an exact 12-bit split
+  (int32 above 2^24 would round), higher groups convert directly (their
+  level bound keeps the conversion error below 2^-50 of the row scale).
+* The value-table decomposition happens ONCE outside the kernel in XLA
+  f64 (trace-time, concrete tables only); the W decomposition runs
+  per-tile in-kernel from the same dense double-float stencil-weight
+  matrices the df64 engine builds (ops/pallas_df64._sel_pair).
+
+Accuracy: ~2^-47 of (row variation x weight magnitude) — measured at the
+df64 engine's level (<= 1e-13 vs the f64 gather tree) on the test
+distributions. The one structural caveat vs df64: error scales with the
+PER-ROW variation envelope, so a row mixing a huge spike with tiny values
+degrades queries whose stencils read only the tiny part. `supported()`
+therefore gates on a per-row midrange-ratio statistic and falls back to
+the df64 engine when a table is spiky (INTERPN_TPU_F64=df64 forces the
+fallback; =i8 skips the gate).
+
+Reference capability matched: f64-first evaluation, 1-8D
+(`src/multicubic/regular_recursive.rs:205-466`) — here at MXU rate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_df64 import (
+    _build_wmats,
+    _df_add,
+    _df_mul,
+    _df_norm,
+    _two_sum,
+    _axis_weights_f64,
+    _split_f64,
+)
+
+_I32 = jnp.int32
+_I8 = jnp.int8
+_F32 = jnp.float32
+
+NPIECE_V = 8
+NPIECE_W = 7
+SMAX = 7  # keep piece pairs with i + j <= SMAX (35 passes)
+
+_MAX_TQ = 512
+_MIN_TQ = 128
+_TILE_BYTES = 1 << 20
+# value table budget: NPIECE_V int8 copies + centers/scales
+_MAX_VALS_BYTES = 2 * 1024 * 1024
+_MAX_GROUP_K = 2048
+_MAX_LEAD = 2048
+# per-row spike gate: rows whose |v - midrange| max exceeds this multiple
+# of the row's mean absolute deviation push the table to the df64 engine
+_ROW_SPIKE_RATIO = 1024.0
+
+
+def _choose_group(dims) -> int:
+    """Trailing-axis count contracted on the MXU — pallas_v3's padded-block
+    cost model, biased toward deep K (the 35 passes amortize padding)."""
+    ndims = len(dims)
+    best_g, best_cost = 1, None
+    k = 1
+    for g in range(1, ndims):
+        k *= dims[ndims - g]
+        if k > _MAX_GROUP_K and g > 1:
+            break
+        lead = math.prod(dims[: ndims - g])
+        if lead > _MAX_LEAD:
+            continue
+        pad = lambda x: -(-x // 128) * 128
+        cost = pad(lead) * pad(k)
+        if best_cost is None or cost <= best_cost:
+            best_g, best_cost = g, cost
+    return best_g
+
+
+def _shape(dims, _method=None):
+    g = _choose_group(dims)
+    return (
+        g,
+        max(math.prod(dims[: len(dims) - g]), 1),
+        math.prod(dims[len(dims) - g:]),
+    )
+
+
+def _tile_q(lead: int, k: int) -> int:
+    tq = _TILE_BYTES // max(max(lead, k) * 4, 1)
+    tq = 1 << max(tq.bit_length() - 1, 0)
+    return max(_MIN_TQ, min(_MAX_TQ, tq))
+
+
+def supported(dims, method: str, vals=None) -> bool:
+    """Shape + (when a concrete table is given) spikiness eligibility."""
+    mode = os.environ.get("INTERPN_TPU_F64", "auto")
+    if mode == "df64":
+        return False
+    if method not in ("linear", "cubic"):
+        return False
+    if len(dims) < 2 or len(dims) > 8:
+        return False
+    if dims[-1] < 2 or math.prod(dims) * NPIECE_V > _MAX_VALS_BYTES:
+        return False
+    g, lead, k = _shape(dims)
+    if lead > _MAX_LEAD:
+        return False
+    if vals is not None and mode != "i8":
+        if isinstance(vals, jax.core.Tracer):
+            return False  # decomposition needs concrete values
+        v = np.asarray(vals, dtype=np.float64).reshape(lead, k)
+        if not np.isfinite(v).all():
+            return False
+        mid = (v.max(axis=1) + v.min(axis=1)) * 0.5
+        dev = np.abs(v - mid[:, None])
+        peak = dev.max(axis=1)
+        mad = dev.mean(axis=1)
+        if np.any(peak > _ROW_SPIKE_RATIO * np.maximum(mad, 1e-300)):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# trace-time table decomposition (XLA f64 -> int8 pieces + exact scales)
+# ---------------------------------------------------------------------------
+
+
+def _decompose_table(vals, lead: int, k: int):
+    """(pieces (NPIECE_V, lead, k) i8, centers hi/lo (lead,1) f32,
+    scales (lead, 1) f32 — exact powers of two)."""
+    v = vals.reshape(lead, k).astype(jnp.float64)
+    mid = (jnp.max(v, axis=1, keepdims=True) + jnp.min(v, axis=1, keepdims=True)) * 0.5
+    vc = v - mid
+    peak = jnp.max(jnp.abs(vc), axis=1, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(peak, 1e-300)))
+    scale = jnp.exp2(e)
+    r = vc / scale  # exact (power-of-two divide), |r| <= 1
+    pieces = []
+    for i in range(NPIECE_V):
+        q = jnp.rint(r * 2.0 ** (6 + 7 * i))
+        pieces.append(q.astype(_I8))
+        r = r - q * 2.0 ** (-(6 + 7 * i))
+    ch, cl = _split_f64(mid)
+    return (
+        jnp.stack(pieces),
+        ch.astype(_F32),
+        cl.astype(_F32),
+        scale.astype(_F32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _combined_weights_df(wmats, dims, g: int, tq: int):
+    """Grouped trailing-axes weight matrix as a double-float (K, tq) pair,
+    right-to-left outer products of the per-axis dense df matrices."""
+    ndims = len(dims)
+    wh, wl = wmats[ndims - 1]
+    width = dims[ndims - 1]
+    for a in range(ndims - 2, ndims - g - 1, -1):
+        ah, al = wmats[a]
+        da = dims[a]
+        # outer product through a 3D view, in double-float
+        xh = ah.reshape(da, 1, tq) * wh.reshape(1, width, tq)
+        # error term of the product, Dekker-free approximation is NOT enough
+        # here; use full df multiply on the broadcast views
+        ph, plo = _df_mul(
+            ah.reshape(da, 1, tq), al.reshape(da, 1, tq),
+            wh.reshape(1, width, tq), wl.reshape(1, width, tq),
+        )
+        del xh
+        wh = ph.reshape(da * width, tq)
+        wl = plo.reshape(da * width, tq)
+        width *= da
+    return wh, wl
+
+
+def _quantize_weights(wh, wl, tq: int):
+    """(B pieces list of (K, tq) i8, f_q scale (1, tq) f32 power of two)."""
+    peak = jnp.max(jnp.abs(wh), axis=0, keepdims=True)
+    f = jnp.ceil(jnp.log2(jnp.maximum(peak, 1e-30)))
+    scale = jnp.exp2(f)
+    inv = jnp.exp2(-f)
+    rh = wh * inv  # exact
+    rl = wl * inv
+    pieces = []
+    r = rh
+    for j in range(NPIECE_W):
+        if j == 3:
+            # absorb the low component once the residual is near its level
+            r = r + rl
+        q = jnp.rint(r * _F32(2.0 ** (6 + 7 * j)))
+        pieces.append(q.astype(_I8))
+        r = r - q * _F32(2.0 ** (-(6 + 7 * j)))
+    return pieces, scale
+
+
+def _exact_i32_to_df(acc32):
+    """int32 -> exact f32 hi/lo pair (values may exceed 2^24)."""
+    lo_i = jax.lax.rem(acc32, _I32(4096))
+    hi_i = jax.lax.div(acc32 - lo_i, _I32(4096))
+    return hi_i.astype(_F32) * _F32(4096.0), lo_i.astype(_F32)
+
+
+def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):
+    ndims = len(dims)
+    m = ndims - g  # leading (tail) axes
+    pairs = [
+        (i, j)
+        for i in range(NPIECE_V)
+        for j in range(NPIECE_W)
+        if i + j <= SMAX
+    ]
+
+    def kernel(locs_ref, wh_ref, wl_ref, a_ref, ch_ref, cl_ref, sv_ref,
+               oh_ref, ol_ref):
+        wmats = _build_wmats(locs_ref, wh_ref, wl_ref, dims, footprint, tq)
+        cwh, cwl = _combined_weights_df(wmats, dims, g, tq)
+        bpieces, fq = _quantize_weights(cwh, cwl, tq)
+
+        # 35 int8 MXU passes, int32 accumulation per total level s
+        groups: dict = {}
+        for i, j in pairs:
+            t = jax.lax.dot_general(
+                a_ref[i], bpieces[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=_I32,
+            )
+            s = i + j
+            groups[s] = t if s not in groups else groups[s] + t
+
+        # recombine: exact split conversion for the coarse levels, direct
+        # conversion (error < 2^-50 of row scale) for the fine ones
+        th = jnp.zeros((lead, tq), _F32)
+        tl = jnp.zeros((lead, tq), _F32)
+        for s in sorted(groups):
+            lvl = _F32(2.0 ** (-(12 + 7 * s)))
+            if s <= 3:
+                gh, gl = _exact_i32_to_df(groups[s])
+                th, tl = _df_add(th, tl, gh * lvl, gl * lvl)
+            else:
+                th, tl = _df_add(
+                    th, tl, groups[s].astype(_F32) * lvl, jnp.zeros_like(th)
+                )
+
+        # restore scales (exact powers of two) and row centers
+        sv = sv_ref[:, :]  # (lead, 1)
+        th = th * sv * fq
+        tl = tl * sv * fq
+        # centers: c_r * S_w[q], S_w = df column-sum of the combined weights
+        swh = cwh
+        swl = cwl
+        # pairwise df reduction over K rows (log2 depth)
+        n_rows = ksize
+        while n_rows > 1:
+            half = n_rows // 2
+            odd = n_rows - 2 * half
+            ah, al = swh[:half], swl[:half]
+            bh, bl = swh[half: 2 * half], swl[half: 2 * half]
+            sh, sl = _df_add(ah, al, bh, bl)
+            if odd:
+                sh2, sl2 = _df_add(
+                    sh[:1], sl[:1], swh[2 * half:], swl[2 * half:]
+                )
+                sh = jnp.concatenate([sh2, sh[1:]], axis=0)
+                sl = jnp.concatenate([sl2, sl[1:]], axis=0)
+            swh, swl = sh, sl
+            n_rows = half
+        ph, plo = _df_mul(ch_ref[:, :], cl_ref[:, :], swh, swl)
+        th, tl = _df_add(th, tl, ph, plo)
+        th, tl = _two_sum(th, tl)
+
+        # leading-axis tails: normalized double-float segment sums, exactly
+        # the df64 engine's tail structure
+        lead_k = lead
+        for a in range(m - 1, -1, -1):
+            lead_k //= dims[a]
+            awh, awl = wmats[a]
+            g_h = th.reshape(lead_k, dims[a], tq)
+            g_l = tl.reshape(lead_k, dims[a], tq)
+            sh = jnp.zeros((max(lead_k, 1), tq), _F32)
+            sl = jnp.zeros((max(lead_k, 1), tq), _F32)
+            for b in range(dims[a]):
+                ph, plo = _df_mul(
+                    g_h[:, b, :], g_l[:, b, :],
+                    awh[b, :].reshape(1, tq), awl[b, :].reshape(1, tq),
+                )
+                sh, sl = _df_add(sh, sl, ph, plo)
+            th, tl = sh, sl
+
+        oh_ref[0, :] = th.reshape(1, tq)[0, :]
+        ol_ref[0, :] = tl.reshape(1, tq)[0, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pallas_i8(dims, footprint, locs_mat, wh, wl, pieces, ch, cl, sv):
+    ndims = len(dims)
+    g, lead, ksize = _shape(dims)
+    tq = _tile_q(lead, ksize)
+    n = locs_mat.shape[1]
+    kernel = _make_kernel(dims, footprint, g, lead, ksize, tq)
+    nw = ndims * footprint
+    col = lambda i: (0, 0)
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            in_specs=[
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (NPIECE_V, lead, ksize), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n), _F32),
+                jax.ShapeDtypeStruct((1, n), _F32),
+            ),
+        )(locs_mat, wh, wl, pieces, ch, cl, sv)
+    return oh, ol
+
+
+def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
+    footprint = 2 if method == "linear" else 4
+    g, lead, ksize = _shape(dims)
+    tq = _tile_q(lead, ksize)
+    n = obs[0].shape[0]
+    n_pad = ((n + tq - 1) // tq) * tq
+
+    f64 = vals.dtype
+    obs64 = tuple(o.astype(f64) for o in obs)
+    per_axis = _axis_weights_f64(dims, starts, steps, grids, obs64,
+                                 method, linearize)
+    locs = jnp.concatenate(
+        [pa[0].reshape(1, n).astype(_I32) for pa in per_axis], axis=0
+    )
+    w64 = jnp.concatenate(
+        [w.reshape(1, n) for pa in per_axis for w in pa[1]], axis=0
+    )
+    wh, wl = _split_f64(w64)
+    pad = n_pad - n
+    locs = jnp.pad(locs, ((0, 0), (0, pad)))
+    wh = jnp.pad(wh, ((0, 0), (0, pad)))
+    wl = jnp.pad(wl, ((0, 0), (0, pad)))
+    pieces, ch, cl, sv = _decompose_table(vals, lead, ksize)
+    oh, ol = _pallas_i8(
+        tuple(dims), footprint, locs, wh, wl, pieces, ch, cl, sv
+    )
+    return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
+
+
+def eval_regular(dims, starts, steps, vals, obs, method, linearize=True):
+    """int8-multipass f64 evaluation on a regular grid."""
+    return _eval(tuple(dims), starts, steps, None, vals, obs, method, linearize)
+
+
+def eval_rectilinear(grids, vals, obs, method, linearize=True):
+    """int8-multipass f64 evaluation on a rectilinear grid."""
+    dims = tuple(int(g.shape[0]) for g in grids)
+    return _eval(dims, None, None, grids, vals, obs, method, linearize)
