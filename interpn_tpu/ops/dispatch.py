@@ -1,6 +1,7 @@
-"""Implementation selection: gather-tree vs factorized-MXU vs fused Pallas.
+"""Implementation selection: gather-tree vs factorized-MXU vs fused Pallas
+vs the two f64 contraction engines.
 
-Three implementations cover every method x grid-kind family:
+Five device implementations cover every method x grid-kind family:
 
 * `gather` (ops.linear / ops.cubic / ops.nearest): per-vertex flat gathers +
   tree reduction. Matches the reference's evaluation order; the only choice
@@ -16,11 +17,17 @@ Three implementations cover every method x grid-kind family:
   at every measured shape (docs/perf.md): 1.1-2x over `factorized`, up to
   9x over gather on large grids, 64x for rectilinear cubic.
 
+* f64 contraction engines: `df64` (ops.pallas_df64 — compensated-f32
+  double-float on the VPU, any supported shape) and `i8`
+  (ops.pallas_i8 — exact-int32 int8 multipass on the MXU, same ~2^-47
+  accuracy class at 19-46x the gather rate; needs a concrete,
+  non-spiky table).
+
 Selection happens at trace time from static information (dtype, grid size,
 query count, backend). Overrides: INTERPN_TPU_IMPL=gather|factorized|pallas,
-INTERPN_TPU_PRECISION=exact (default: 6-pass f32-exact contraction) |
-split (4 one-pass bf16 matmuls on row-centered tables) | fast (3) — see
-ops/pallas_v3.py for the accuracy ladder.
+INTERPN_TPU_F64=auto|df64|i8, INTERPN_TPU_PRECISION=exact (default: 6-pass
+f32-exact contraction) | split (4 one-pass bf16 matmuls on row-centered
+tables) | fast (3) — see ops/pallas_v3.py for the accuracy ladder.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ import jax.numpy as jnp
 
 from . import factorized as _fz
 from . import pallas_df64 as _pdf
+from . import pallas_i8 as _pi8
 from . import pallas_v3 as _pv3
 from .cubic import cubic_rectilinear as _cubic_rect_gather
 from .cubic import cubic_regular as _cubic_reg_gather
@@ -70,6 +78,18 @@ MAX_PALLAS_GRID = {
     "nearest": 50_000,
 }
 MAX_PALLAS_GRID_RECT = 1 << 21
+
+
+def _prefer_i8(dims, method: str) -> bool:
+    """MXU-vs-VPU choice between the two f64 engines, from v5e measurement
+    (benches/exp_i8_engine.py): the int8 engine beat the double-float VPU
+    engine at EVERY measured shape from 8000 cells up (20^3 cubic 21.1 vs
+    15.6 Mq/s, 20^4 9.7 vs 0.8 — the VPU engine pays ~21 plane-ops per
+    CELL, the MXU engine 35 int8 passes over the 128-PADDED block, ~40x
+    the arithmetic rate). Below ~4k cells both engines are padded-block /
+    tile-overhead bound and far faster than any caller needs; the VPU
+    engine keeps those (smaller first-compile, no table decomposition)."""
+    return math.prod(dims) >= 4096
 
 
 def _plain_trace(x) -> bool:
@@ -135,11 +155,21 @@ def _impl(
         and dims is not None
         and _plain_trace(obs0)
         and _plain_trace(vals_ref)
-        and _pdf.supported(tuple(dims), method)
     ):
-        # double-float contraction engine: ~1e-14 relative agreement with
-        # the f64 gather tree at 2-15x its throughput (docs/perf.md)
-        return "df64"
+        # int8-multipass MXU engine first: same ~2^-47-class accuracy as
+        # the double-float VPU engine at MXU rate, when the grid is big
+        # enough for the 35 padded passes to beat 21 VPU plane-ops/cell
+        # and the (concrete) table passes the per-row spike gate
+        if (
+            _prefer_i8(tuple(dims), method)
+            and _pi8.supported(tuple(dims), method, vals_ref)
+        ):
+            return "i8"
+        if _pdf.supported(tuple(dims), method):
+            # double-float contraction engine: ~1e-14 relative agreement
+            # with the f64 gather tree at 2-15x its throughput
+            # (docs/perf.md)
+            return "df64"
     if (
         dtype == jnp.float32
         and vals_finite
@@ -235,6 +265,10 @@ def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
     impl = _impl(
         vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", vals_ref=vals
     )
+    if impl == "i8":
+        prim = lambda st, sp, v, *ob: _pi8.eval_regular(dims, st, sp, v, ob, "linear")
+        gat = lambda st, sp, v, *ob: _linear_reg_gather(dims, st, sp, v, ob)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "df64":
         prim = lambda st, sp, v, *ob: _pdf.eval_regular(dims, st, sp, v, ob, "linear")
         gat = lambda st, sp, v, *ob: _linear_reg_gather(dims, st, sp, v, ob)
@@ -258,6 +292,10 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
         vals_ref=vals,
     )
     ng = len(grids)
+    if impl == "i8":
+        prim = lambda *a: _pi8.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "linear")
+        gat = lambda *a: _linear_rect_gather(a[:ng], a[ng], a[ng + 1:])
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "df64":
         prim = lambda *a: _pdf.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "linear")
         gat = lambda *a: _linear_rect_gather(a[:ng], a[ng], a[ng + 1:])
@@ -283,6 +321,12 @@ def cubic_regular(
         vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", vals_ref=vals
     )
     lin = bool(linearize_extrapolation)
+    if impl == "i8":
+        prim = lambda st, sp, v, *ob: _pi8.eval_regular(
+            dims, st, sp, v, ob, "cubic", lin
+        )
+        gat = lambda st, sp, v, *ob: _cubic_reg_gather(dims, st, sp, v, ob, lin)
+        return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "df64":
         prim = lambda st, sp, v, *ob: _pdf.eval_regular(
             dims, st, sp, v, ob, "cubic", lin
@@ -311,6 +355,10 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     )
     ng = len(grids)
     lin = bool(linearize_extrapolation)
+    if impl == "i8":
+        prim = lambda *a: _pi8.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "cubic", lin)
+        gat = lambda *a: _cubic_rect_gather(a[:ng], a[ng], a[ng + 1:], lin)
+        return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "df64":
         prim = lambda *a: _pdf.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "cubic", lin)
         gat = lambda *a: _cubic_rect_gather(a[:ng], a[ng], a[ng + 1:], lin)

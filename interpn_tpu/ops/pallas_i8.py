@@ -111,7 +111,15 @@ def _choose_group(dims) -> int:
     return best_g
 
 
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 def _shape(dims, _method=None):
+    """(group, lead, k) — TRUE extents. The kernel zero-pads both matmul
+    extents to multiples of 128: Mosaic runs misaligned int8 contractions
+    5-7x slower than aligned ones (400x400 measured 11.4 TMAC/s vs 512x512
+    at 80.7 — the padding costs only zero rows that contribute nothing)."""
     g = _choose_group(dims)
     return (
         g,
@@ -146,11 +154,17 @@ def supported(dims, method: str, vals=None) -> bool:
         v = np.asarray(vals, dtype=np.float64).reshape(lead, k)
         if not np.isfinite(v).all():
             return False
-        mid = (v.max(axis=1) + v.min(axis=1)) * 0.5
-        dev = np.abs(v - mid[:, None])
+        # Spike statistic around the MEDIAN: a single huge value inflates
+        # midrange/mean deviations symmetrically (ratio ~1 or ~K — fooled),
+        # while the median deviation stays at the quiet values' scale. The
+        # peak * 2^-16 floor keeps constant rows (peak 0) accepted and
+        # bounds the ratio so the threshold is meaningful.
+        med = np.median(v, axis=1, keepdims=True)
+        dev = np.abs(v - med)
         peak = dev.max(axis=1)
-        mad = dev.mean(axis=1)
-        if np.any(peak > _ROW_SPIKE_RATIO * np.maximum(mad, 1e-300)):
+        meddev = np.median(dev, axis=1)
+        floor = np.maximum(np.maximum(meddev, peak * 2.0**-16), 1e-300)
+        if np.any(peak > _ROW_SPIKE_RATIO * floor):
             return False
     return True
 
@@ -162,25 +176,36 @@ def supported(dims, method: str, vals=None) -> bool:
 
 def _decompose_table(vals, lead: int, k: int):
     """(pieces (NPIECE_V, lead, k) i8, centers hi/lo (lead,1) f32,
-    scales (lead, 1) f32 — exact powers of two)."""
-    v = vals.reshape(lead, k).astype(jnp.float64)
-    mid = (jnp.max(v, axis=1, keepdims=True) + jnp.min(v, axis=1, keepdims=True)) * 0.5
+    scales (lead, 1) f32 — exact powers of two).
+
+    Runs in HOST numpy: the table is concrete by construction (supported()
+    refuses tracers), and true-f64 host arithmetic keeps every step of the
+    residual chain exact. On-device f64 is float-float EMULATED, whose
+    rint/exp2 edge behavior broke the self-correcting piece expansion for
+    a cluster of rows on v5e hardware (measured: 28/100k queries at
+    ~1e-8 — one piece-unit at level s=2 — while the same math on host is
+    clean)."""
+    v = np.asarray(vals, dtype=np.float64).reshape(lead, k)
+    mid = (v.max(axis=1, keepdims=True) + v.min(axis=1, keepdims=True)) * 0.5
     vc = v - mid
-    peak = jnp.max(jnp.abs(vc), axis=1, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.maximum(peak, 1e-300)))
-    scale = jnp.exp2(e)
+    peak = np.abs(vc).max(axis=1, keepdims=True)
+    with np.errstate(divide="ignore"):
+        e = np.ceil(np.log2(np.maximum(peak, 1e-300)))
+    # zero rows (the 128-alignment padding) get scale 1, avoiding 0/0
+    scale = np.where(peak > 0, np.exp2(e), 1.0)
     r = vc / scale  # exact (power-of-two divide), |r| <= 1
-    pieces = []
+    pieces = np.empty((NPIECE_V, lead, k), dtype=np.int8)
     for i in range(NPIECE_V):
-        q = jnp.rint(r * 2.0 ** (6 + 7 * i))
-        pieces.append(q.astype(_I8))
+        q = np.rint(r * 2.0 ** (6 + 7 * i))
+        pieces[i] = q.astype(np.int8)
         r = r - q * 2.0 ** (-(6 + 7 * i))
-    ch, cl = _split_f64(mid)
+    ch = mid.astype(np.float32)
+    cl = (mid - ch.astype(np.float64)).astype(np.float32)
     return (
-        jnp.stack(pieces),
-        ch.astype(_F32),
-        cl.astype(_F32),
-        scale.astype(_F32),
+        jnp.asarray(pieces),
+        jnp.asarray(ch),
+        jnp.asarray(cl),
+        jnp.asarray(scale.astype(np.float32)),
     )
 
 
@@ -214,22 +239,25 @@ def _combined_weights_df(wmats, dims, g: int, tq: int):
 
 
 def _quantize_weights(wh, wl, tq: int):
-    """(B pieces list of (K, tq) i8, f_q scale (1, tq) f32 power of two)."""
+    """(B pieces list of (K, tq) i8, f_q scale (1, tq) f32 power of two).
+
+    The residual is carried as a DOUBLE-FLOAT pair and renormalized with
+    the exact two_sum after every extraction: a plain f32 residual with a
+    one-time low-part absorption rounds at ~2^-45 of the scale (measured
+    as the dominant error), while the df residual keeps every subtraction
+    exact and folds the low component in as the residual shrinks."""
     peak = jnp.max(jnp.abs(wh), axis=0, keepdims=True)
     f = jnp.ceil(jnp.log2(jnp.maximum(peak, 1e-30)))
     scale = jnp.exp2(f)
     inv = jnp.exp2(-f)
-    rh = wh * inv  # exact
+    rh = wh * inv  # exact (power-of-two scale)
     rl = wl * inv
     pieces = []
-    r = rh
     for j in range(NPIECE_W):
-        if j == 3:
-            # absorb the low component once the residual is near its level
-            r = r + rl
-        q = jnp.rint(r * _F32(2.0 ** (6 + 7 * j)))
+        q = jnp.rint(rh * _F32(2.0 ** (6 + 7 * j)))
         pieces.append(q.astype(_I8))
-        r = r - q * _F32(2.0 ** (-(6 + 7 * j)))
+        rh = rh - q * _F32(2.0 ** (-(6 + 7 * j)))  # exact (Sterbenz)
+        rh, rl = _two_sum(rh, rl)
     return pieces, scale
 
 
@@ -250,11 +278,22 @@ def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):
         if i + j <= SMAX
     ]
 
+    k_pad = _pad128(ksize)
+    lead_pad = _pad128(lead)
+
     def kernel(locs_ref, wh_ref, wl_ref, a_ref, ch_ref, cl_ref, sv_ref,
                oh_ref, ol_ref):
         wmats = _build_wmats(locs_ref, wh_ref, wl_ref, dims, footprint, tq)
         cwh, cwl = _combined_weights_df(wmats, dims, g, tq)
-        bpieces, fq = _quantize_weights(cwh, cwl, tq)
+        # zero-pad the contraction depth to the 128-aligned table (zero
+        # rows multiply zero table columns: exact no-ops on the result)
+        if k_pad > ksize:
+            z = jnp.zeros((k_pad - ksize, tq), _F32)
+            cwh_p = jnp.concatenate([cwh, z], axis=0)
+            cwl_p = jnp.concatenate([cwl, z], axis=0)
+        else:
+            cwh_p, cwl_p = cwh, cwl
+        bpieces, fq = _quantize_weights(cwh_p, cwl_p, tq)
 
         # 35 int8 MXU passes, int32 accumulation per total level s
         groups: dict = {}
@@ -266,13 +305,15 @@ def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):
             s = i + j
             groups[s] = t if s not in groups else groups[s] + t
 
-        # recombine: exact split conversion for the coarse levels, direct
-        # conversion (error < 2^-50 of row scale) for the fine ones
-        th = jnp.zeros((lead, tq), _F32)
-        tl = jnp.zeros((lead, tq), _F32)
+        # recombine: exact split conversion up to level 5 (a direct int32
+        # -> f32 conversion above 2^24 rounds at 2^-24 of the group, which
+        # at level 4 is ~2^-40 of the scale — measured as an error floor);
+        # levels 6-7 sit below 2^-54 and convert directly
+        th = jnp.zeros((lead_pad, tq), _F32)
+        tl = jnp.zeros((lead_pad, tq), _F32)
         for s in sorted(groups):
             lvl = _F32(2.0 ** (-(12 + 7 * s)))
-            if s <= 3:
+            if s <= 5:
                 gh, gl = _exact_i32_to_df(groups[s])
                 th, tl = _df_add(th, tl, gh * lvl, gl * lvl)
             else:
@@ -284,28 +325,31 @@ def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):
         sv = sv_ref[:, :]  # (lead, 1)
         th = th * sv * fq
         tl = tl * sv * fq
-        # centers: c_r * S_w[q], S_w = df column-sum of the combined weights
-        swh = cwh
-        swl = cwl
-        # pairwise df reduction over K rows (log2 depth)
-        n_rows = ksize
-        while n_rows > 1:
-            half = n_rows // 2
-            odd = n_rows - 2 * half
-            ah, al = swh[:half], swl[:half]
-            bh, bl = swh[half: 2 * half], swl[half: 2 * half]
-            sh, sl = _df_add(ah, al, bh, bl)
-            if odd:
-                sh2, sl2 = _df_add(
-                    sh[:1], sl[:1], swh[2 * half:], swl[2 * half:]
+        # centers: c_r * S_w[q]. S_w = column sum of the combined weight
+        # matrix = product over grouped axes of each axis's stencil-weight
+        # sum (identical values — densification only places them), computed
+        # from the raw (nw, tq) weight rows: no reduction tree, no odd-row
+        # slices (Mosaic rejects those).
+        swh = swl = None
+        for a in range(ndims - g, ndims):
+            axh = wh_ref[a * footprint, :].reshape(1, tq)
+            axl = wl_ref[a * footprint, :].reshape(1, tq)
+            for fp in range(1, footprint):
+                axh, axl = _df_add(
+                    axh, axl,
+                    wh_ref[a * footprint + fp, :].reshape(1, tq),
+                    wl_ref[a * footprint + fp, :].reshape(1, tq),
                 )
-                sh = jnp.concatenate([sh2, sh[1:]], axis=0)
-                sl = jnp.concatenate([sl2, sl[1:]], axis=0)
-            swh, swl = sh, sl
-            n_rows = half
+            if swh is None:
+                swh, swl = axh, axl
+            else:
+                swh, swl = _df_mul(swh, swl, axh, axl)
         ph, plo = _df_mul(ch_ref[:, :], cl_ref[:, :], swh, swl)
         th, tl = _df_add(th, tl, ph, plo)
         th, tl = _two_sum(th, tl)
+        if lead_pad > lead:
+            th = th[:lead]
+            tl = tl[:lead]
 
         # leading-axis tails: normalized double-float segment sums, exactly
         # the df64 engine's tail structure
@@ -335,6 +379,7 @@ def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):
 def _pallas_i8(dims, footprint, locs_mat, wh, wl, pieces, ch, cl, sv):
     ndims = len(dims)
     g, lead, ksize = _shape(dims)
+    lead_pad, k_pad = _pad128(lead), _pad128(ksize)
     tq = _tile_q(lead, ksize)
     n = locs_mat.shape[1]
     kernel = _make_kernel(dims, footprint, g, lead, ksize, tq)
@@ -349,12 +394,12 @@ def _pallas_i8(dims, footprint, locs_mat, wh, wl, pieces, ch, cl, sv):
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (NPIECE_V, lead, ksize), lambda i: (0, 0, 0),
+                    (NPIECE_V, lead_pad, k_pad), lambda i: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
-                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
-                pl.BlockSpec((lead, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((lead_pad, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((lead_pad, 1), col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((lead_pad, 1), col, memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -390,11 +435,32 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
     locs = jnp.pad(locs, ((0, 0), (0, pad)))
     wh = jnp.pad(wh, ((0, 0), (0, pad)))
     wl = jnp.pad(wl, ((0, 0), (0, pad)))
-    pieces, ch, cl, sv = _decompose_table(vals, lead, ksize)
+    # GLOBAL center out in exact f64: the in-kernel center restoration is
+    # double-float (~2^-47 relative of the center magnitude), so a global
+    # offset (temperatures ~300) would cost 2^-47 * 300 ~ 2e-12. Extracted
+    # here, its contribution c0 * prod_axes(sum_i w_ai) evaluates in f64
+    # (~2^-52); the kernel's df center path only carries the row-to-row
+    # residuals.
+    # host numpy throughout the table prep (true f64; device f64 is
+    # emulated — see _decompose_table)
+    v_np = np.asarray(vals, dtype=np.float64)
+    c0 = float((v_np.max() + v_np.min()) * 0.5)
+    wsum = None
+    for pa in per_axis:
+        s = sum(pa[1])
+        wsum = s if wsum is None else wsum * s
+    # zero-pad both contraction extents to 128 (see _shape)
+    lead_pad, k_pad = _pad128(lead), _pad128(ksize)
+    v2 = np.pad(
+        (v_np - c0).reshape(lead, ksize),
+        ((0, lead_pad - lead), (0, k_pad - ksize)),
+    )
+    pieces, ch, cl, sv = _decompose_table(v2, lead_pad, k_pad)
     oh, ol = _pallas_i8(
         tuple(dims), footprint, locs, wh, wl, pieces, ch, cl, sv
     )
-    return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
+    base = (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
+    return base + c0 * wsum.reshape(-1)
 
 
 def eval_regular(dims, starts, steps, vals, obs, method, linearize=True):

@@ -214,13 +214,23 @@ def test_dispatch_engine_selection_policy(monkeypatch):
         impl(jnp.float32, 10**6, big, True, (100,) * 3, "nearest", rect=True)
         == "pallas"
     )
-    # f64: double-float engine for supported shapes, gather otherwise
-    assert impl(jnp.float64, 8000, f64, True, (20, 20, 20), "cubic") == "df64"
-    # round 3: the looped slab kernel serves 4D/5D f64 cubic on device
-    assert impl(jnp.float64, 160000, f64, True, (20,) * 4, "cubic") == "df64"
-    assert impl(jnp.float64, 12**5, f64, True, (12,) * 5, "cubic") == "df64"
-    # 4D linear stays on gather (dense contraction loses to 16 gathers/query)
-    assert impl(jnp.float64, 160000, f64, True, (20,) * 4, "linear") == "gather"
+    # f64: int8 MXU engine at big grids (vals None -> shape gate only),
+    # double-float VPU engine at small ones, gather otherwise
+    assert impl(jnp.float64, 8000, f64, True, (20, 20, 20), "cubic") == "i8"
+    assert impl(jnp.float64, 96, f64, True, (8, 12), "cubic") == "df64"
+    # round 3: 4D/5D f64 cubic on device (i8 or the looped df64 kernel)
+    assert impl(jnp.float64, 160000, f64, True, (20,) * 4, "cubic") == "i8"
+    assert impl(jnp.float64, 12**5, f64, True, (12,) * 5, "cubic") == "i8"
+    # a spiky table fails the i8 row gate -> looped df64 kernel
+    spiky = np.ones(160000)
+    spiky[7] = 1e9
+    assert (
+        impl(jnp.float64, 160000, f64, True, (20,) * 4, "cubic",
+             vals_ref=jnp.asarray(spiky))
+        == "df64"
+    )
+    # 4D linear: i8 MXU contraction now beats the 16-gathers/query tree
+    assert impl(jnp.float64, 160000, f64, True, (20,) * 4, "linear") == "i8"
     assert impl(jnp.float64, 8000, f64, True, (20, 20, 20), "nearest") == "gather"
     # non-finite grids always fall to gather
     assert impl(jnp.float32, 8000, big, False, (20, 20, 20), "cubic") == "gather"

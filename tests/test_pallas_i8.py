@@ -1,0 +1,159 @@
+"""int8-multipass MXU f64 engine: accuracy vs the f64 gather tree and the
+double-float VPU engine (interpret mode on CPU; throughput is validated on
+real TPU hardware, docs/perf.md).
+
+Same bar as the df64 engine: <= 1e-13 interior, term-amplification-bounded
+under deep extrapolation."""
+
+import numpy as np
+import pytest
+
+import interpn_tpu  # noqa: F401  (enables x64)
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from interpn_tpu import ops
+from interpn_tpu.ops import pallas_df64 as df
+from interpn_tpu.ops import pallas_i8 as i8
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+
+def _case(dims, seed=0, depth=2.0):
+    rng = np.random.default_rng(seed)
+    starts = jnp.asarray(rng.uniform(-1, 1, len(dims)))
+    steps = jnp.asarray(rng.uniform(0.3, 1.0, len(dims)))
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    n = 500
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(
+                float(starts[k]) - depth * float(steps[k]),
+                float(starts[k]) + float(steps[k]) * (dims[k] - 1 + depth),
+                n,
+            )
+        )
+        for k in range(len(dims))
+    )
+    return starts, steps, vals, obs
+
+
+@pytest.mark.parametrize("dims,method", [
+    ((12, 12), "linear"),
+    ((10, 10, 10), "cubic"),
+    ((20, 20, 20), "cubic"),
+    ((13, 13, 13, 4), "cubic"),
+])
+def test_i8_matches_df64_engine(dims, method):
+    """The int8 engine matches the double-float engine at the double-float
+    accuracy floor — the two independent 2^-47-class constructions agree
+    far tighter than either is required to match the gather tree."""
+    starts, steps, vals, obs = _case(dims, seed=sum(dims))
+    a = np.asarray(i8.eval_regular(dims, starts, steps, vals, obs, method))
+    b = np.asarray(df.eval_regular(dims, starts, steps, vals, obs, method))
+    np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("dims,method,linearize", [
+    ((10, 10, 10), "cubic", True),
+    ((10, 10, 10), "cubic", False),
+    ((20, 20, 20), "linear", True),
+])
+def test_i8_interior_parity_vs_gather(dims, method, linearize):
+    rng = np.random.default_rng(3)
+    starts = jnp.zeros(len(dims))
+    steps = jnp.ones(len(dims))
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    obs = tuple(
+        jnp.asarray(rng.uniform(0, d - 1.0, 400)) for d in dims
+    )
+    a = np.asarray(
+        i8.eval_regular(dims, starts, steps, vals, obs, method, linearize)
+    )
+    if method == "linear":
+        b = np.asarray(ops.linear.linear_regular(dims, starts, steps, vals, obs))
+    else:
+        b = np.asarray(
+            ops.cubic.cubic_regular(dims, starts, steps, vals, obs, linearize)
+        )
+    np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-13)
+
+
+def test_i8_rectilinear():
+    rng = np.random.default_rng(7)
+    dims = (9, 8, 10)
+    grids = tuple(jnp.asarray(np.cumsum(0.2 + rng.random(d))) for d in dims)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    n = 400
+    obs = tuple(
+        jnp.asarray(rng.uniform(float(g[0]), float(g[-1]), n)) for g in grids
+    )
+    a = np.asarray(i8.eval_rectilinear(grids, vals, obs, "cubic", True))
+    b = np.asarray(ops.cubic.cubic_rectilinear(grids, vals, obs, True))
+    np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-13)
+
+
+def test_i8_offset_table_row_centering():
+    """A globally-offset table (temperatures ~300) costs nothing: the row
+    centering keeps the fixed-point error on the LOCAL variation."""
+    rng = np.random.default_rng(9)
+    dims = (16, 16)
+    vals64 = 300.0 + 0.01 * rng.standard_normal(256)
+    vals = jnp.asarray(vals64)
+    starts, steps = jnp.zeros(2), jnp.ones(2)
+    obs = tuple(jnp.asarray(rng.uniform(0, 15, 300)) for _ in range(2))
+    a = np.asarray(i8.eval_regular(dims, starts, steps, vals, obs, "cubic"))
+    b = np.asarray(ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True))
+    d = np.asarray(df.eval_regular(dims, starts, steps, vals, obs, "cubic"))
+    # The remaining error is the f64 weight-sum chain (~300 * 2^-51), which
+    # every engine carries on an offset table — anchor against the df64
+    # engine rather than an absolute bar. Without the global-center
+    # extraction the fixed-point error would be 300 * 2^-47 ~ 2e-12.
+    err_i8 = np.max(np.abs(a - b))
+    err_df = np.max(np.abs(d - b))
+    assert err_i8 < 5e-13
+    assert err_i8 < 4 * err_df + 1e-14
+
+
+def test_i8_supported_gate():
+    rng = np.random.default_rng(1)
+    ok_vals = jnp.asarray(rng.standard_normal(8000))
+    assert i8.supported((20, 20, 20), "cubic", ok_vals)
+    assert i8.supported((20, 20, 20, 20), "cubic")
+    assert not i8.supported((20, 20, 20), "nearest")
+    assert not i8.supported((20,), "linear")
+    # spiky rows (one huge value amid tiny ones) fall back to df64
+    spiky = np.ones(8000) * 1e-6
+    spiky[40] = 1e6
+    assert not i8.supported((20, 20, 20), "cubic", jnp.asarray(spiky))
+    # non-finite tables are never decomposed
+    bad = np.zeros(8000)
+    bad[3] = np.inf
+    assert not i8.supported((20, 20, 20), "cubic", jnp.asarray(bad))
+    # tracers can't be decomposed at trace time
+    import jax
+
+    seen = []
+    jax.make_jaxpr(
+        lambda v: seen.append(i8.supported((20, 20, 20), "cubic", v)) or v
+    )(ok_vals)
+    assert seen == [False]
+
+
+def test_i8_env_override(monkeypatch):
+    v = jnp.zeros(400)
+    monkeypatch.setenv("INTERPN_TPU_F64", "df64")
+    assert not i8.supported((20, 20), "cubic", v)
+    monkeypatch.setenv("INTERPN_TPU_F64", "i8")
+    spiky = np.ones(400) * 1e-6
+    spiky[5] = 1e6
+    assert i8.supported((20, 20), "cubic", jnp.asarray(spiky))  # gate skipped
