@@ -78,6 +78,11 @@ class MultilinearRegular(RegularGridMixin, InterpolatorBase):
 
     def _eval_device(self, dev, obs_j):
         dims, starts, steps, vals, finite = dev
+        # int8 MXU f64 engine: eager-only (needs concrete vals) — see
+        # raw._i8_eligible
+        i8 = raw._try_i8_regular(dims, starts, steps, vals, obs_j, "linear")
+        if i8 is not None:
+            return i8
         return raw._linear_regular(dims, starts, steps, vals, obs_j, finite)
 
     def _prepare_native(self):

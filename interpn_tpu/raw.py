@@ -98,6 +98,61 @@ def _unrep_flag(starts, steps, obs):
     return bad
 
 
+_unrep_flag_jit = jax.jit(_unrep_flag)
+
+
+def _i8_eligible(dims, method, vals_j, obs0) -> bool:
+    """Eager-only routing to the int8 MXU f64 engine (ops.pallas_i8).
+
+    The jitted cores below trace `vals`, and the int8 engine's host-side
+    table decomposition needs CONCRETE values — so the one place it can
+    engage is here, before the core jit, where the raw entry points (and
+    the model classes' _eval_device hooks) still hold real arrays. Policy
+    gates mirror ops.dispatch._impl's f64 branch."""
+    import os as _os
+
+    from .ops import dispatch as _dispatch
+    from .ops import pallas_i8 as _pi8
+
+    return (
+        _os.environ.get("INTERPN_TPU_IMPL", "auto") == "auto"
+        and jax.default_backend() == "tpu"
+        and not isinstance(vals_j, jax.core.Tracer)
+        and not isinstance(obs0, jax.core.Tracer)
+        and getattr(obs0, "ndim", 1) == 1
+        and obs0.size >= _dispatch.MIN_PALLAS_QUERIES
+        and _dispatch._prefer_i8(tuple(dims), method)
+        and _pi8.supported(tuple(dims), method, vals_j)
+    )
+
+
+def _try_i8_regular(dims, starts_j, steps_j, vals_j, obs_j, method, linearize=True):
+    """(result, unrep_flag) via the int8 engine, or None when ineligible."""
+    if vals_j.dtype != jnp.float64 or not _i8_eligible(
+        dims, method, vals_j, obs_j[0]
+    ):
+        return None
+    from .ops import pallas_i8 as _pi8
+
+    out = _pi8.eval_regular(
+        tuple(dims), starts_j, steps_j, vals_j, obs_j, method, linearize
+    )
+    return out, _unrep_flag_jit(starts_j, steps_j, obs_j)
+
+
+def _try_i8_rectilinear(grids_j, vals_j, obs_j, method, linearize=True):
+    """Result via the int8 engine, or None (rectilinear kernels never
+    raise the unrepresentable error — bisection, reference parity)."""
+    dims = tuple(int(g.shape[0]) for g in grids_j)
+    if vals_j.dtype != jnp.float64 or not _i8_eligible(
+        dims, method, vals_j, obs_j[0]
+    ):
+        return None
+    from .ops import pallas_i8 as _pi8
+
+    return _pi8.eval_rectilinear(grids_j, vals_j, obs_j, method, linearize)
+
+
 def _linear_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
     out = ops.linear_regular(dims, starts, steps, vals, obs, vals_finite=vals_finite)
     return out, _unrep_flag(starts, steps, obs)
@@ -340,7 +395,11 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
     core = _linear_regular_don if _fresh_obs(obs) else _linear_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
+    i8 = _try_i8_regular(dims, starts_j, steps_j, vals_j, obs_j, "linear")
+    if i8 is not None:
+        result, bad = i8
+    else:
+        result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
     _raise_unrep(bad)
     return _finish(result, out)
 
@@ -372,6 +431,9 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
+    i8 = _try_i8_rectilinear(grids_j, vals_j, obs_j, "linear")
+    if i8 is not None:
+        return _finish(i8, out)
     return _finish(core(grids_j, vals_j, obs_j, vf), out)
 
 
@@ -466,9 +528,17 @@ def _interpn_cubic_regular(
     core = _cubic_regular_don if _fresh_obs(obs) else _cubic_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    result, bad = core(
-        dims, starts_j, steps_j, vals_j, obs_j, bool(linearize_extrapolation), vf
+    i8 = _try_i8_regular(
+        dims, starts_j, steps_j, vals_j, obs_j, "cubic",
+        bool(linearize_extrapolation),
     )
+    if i8 is not None:
+        result, bad = i8
+    else:
+        result, bad = core(
+            dims, starts_j, steps_j, vals_j, obs_j,
+            bool(linearize_extrapolation), vf,
+        )
     _raise_unrep(bad)
     return _finish(result, out)
 
@@ -504,6 +574,11 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
+    i8 = _try_i8_rectilinear(
+        grids_j, vals_j, obs_j, "cubic", bool(linearize_extrapolation)
+    )
+    if i8 is not None:
+        return _finish(i8, out)
     result = core(
         grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )

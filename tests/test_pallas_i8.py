@@ -157,3 +157,41 @@ def test_i8_env_override(monkeypatch):
     spiky = np.ones(400) * 1e-6
     spiky[5] = 1e6
     assert i8.supported((20, 20), "cubic", jnp.asarray(spiky))  # gate skipped
+
+
+def test_public_paths_route_to_i8(monkeypatch):
+    """The raw entries and model classes must reach the int8 engine (the
+    jitted cores trace vals, so routing happens EAGERLY in raw/_eval_device
+    — a regression here silently demotes f64 to the 10-40x-slower paths)."""
+    import interpn_tpu as it
+    import jax
+
+    from interpn_tpu import raw
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("INTERPN_TPU_NATIVE", "0")  # else the CPU fast path wins
+    calls = []
+    real = i8.eval_regular
+
+    def spy(*a, **k):
+        calls.append("regular")
+        return real(*a, **k)
+
+    monkeypatch.setattr(i8, "eval_regular", spy)
+    # raw._try_i8_regular resolves ops.pallas_i8 lazily: patch there too
+    rng = np.random.default_rng(2)
+    dims = [20, 20, 20]
+    vals = rng.standard_normal(8000)
+    obs = [rng.uniform(0, 19, 4096) for _ in range(3)]
+    out = np.zeros(4096)
+    raw.interpn_cubic_regular_f64(
+        dims, np.zeros(3), np.ones(3), vals, True, obs, out
+    )
+    assert calls == ["regular"]
+    assert np.all(np.isfinite(out))
+
+    # class path (device eval; native disabled so the device hook runs)
+    monkeypatch.setenv("INTERPN_TPU_NATIVE", "0")
+    m = it.MulticubicRegular.new(dims, np.zeros(3), np.ones(3), vals)
+    m.eval(obs)
+    assert len(calls) == 2
