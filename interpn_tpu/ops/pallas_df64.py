@@ -434,18 +434,19 @@ def _axis_weights_f64(dims, starts, steps, grids, obs, method, linearize):
     return out
 
 
-def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
-    ndims = len(dims)
-    footprint = 2 if method == "linear" else 4
-    lead = math.prod(dims[:-1])
-    tq = _tq_for(dims)
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _weights_jit(dims, method, linearize, n_pad, starts, steps, grids, obs):
+    """One fused program for the per-axis locate + basis-weight extraction
+    + concatenation + hi/lo split + padding. Previously these ran as ~10
+    eager device ops — at this environment's ~25 ms relay dispatch that
+    was 4x the whole warm eval (and real deployments still pay ~10
+    dispatches of latency). `grids` is () for regular grids."""
+    f64 = obs[0].dtype if obs[0].dtype == jnp.float64 else jnp.float64
     n = obs[0].shape[0]
-    n_pad = ((n + tq - 1) // tq) * tq
-
-    f64 = vals.dtype
     obs64 = tuple(o.astype(f64) for o in obs)
-    per_axis = _axis_weights_f64(dims, starts, steps, grids, obs64,
-                                 method, linearize)
+    per_axis = _axis_weights_f64(
+        dims, starts, steps, grids if grids else None, obs64, method, linearize
+    )
     locs = jnp.concatenate(
         [pa[0].reshape(1, n).astype(_I32) for pa in per_axis], axis=0
     )
@@ -457,6 +458,30 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
     locs = jnp.pad(locs, ((0, 0), (0, pad)))
     wh = jnp.pad(wh, ((0, 0), (0, pad)))
     wl = jnp.pad(wl, ((0, 0), (0, pad)))
+    # per-axis stencil-weight sums in f64 (the i8 engine's exact
+    # global-center restoration; cheap to carry for both engines)
+    wsum = None
+    for pa in per_axis:
+        s = sum(pa[1])
+        wsum = s if wsum is None else wsum * s
+    return locs, wh, wl, wsum
+
+
+def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
+    footprint = 2 if method == "linear" else 4
+    lead = math.prod(dims[:-1])
+    tq = _tq_for(dims)
+    n = obs[0].shape[0]
+    n_pad = ((n + tq - 1) // tq) * tq
+
+    f64 = vals.dtype
+    ndims = len(dims)
+    locs, wh, wl, _ = _weights_jit(
+        tuple(dims), method, bool(linearize), n_pad,
+        starts if starts is not None else jnp.zeros(ndims),
+        steps if steps is not None else jnp.ones(ndims),
+        tuple(grids) if grids is not None else (), obs,
+    )
     vh, vl = _split_f64(vals.reshape(lead, dims[-1]))
     oh, ol = _pallas_df64(tuple(dims), footprint, locs, wh, wl, vh, vl)
     return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]

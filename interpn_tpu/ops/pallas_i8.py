@@ -474,30 +474,23 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
     n_pad = ((n + tq - 1) // tq) * tq
 
     f64 = vals.dtype
-    obs64 = tuple(o.astype(f64) for o in obs)
-    per_axis = _axis_weights_f64(dims, starts, steps, grids, obs64,
-                                 method, linearize)
-    locs = jnp.concatenate(
-        [pa[0].reshape(1, n).astype(_I32) for pa in per_axis], axis=0
+    # fused locate + weight extraction (one compiled program — see
+    # pallas_df64._weights_jit); wsum = per-axis stencil-weight-sum
+    # product in f64, used for the GLOBAL center restoration: the
+    # in-kernel center path is double-float (~2^-47 of the center
+    # magnitude, ~2e-12 on a ~300-offset table), so the global offset c0
+    # is extracted on the host and its contribution c0 * wsum evaluates
+    # in f64 (~2^-52); the kernel's df center path only carries the
+    # row-to-row residuals.
+    from .pallas_df64 import _weights_jit
+
+    ndims = len(dims)
+    locs, wh, wl, wsum = _weights_jit(
+        tuple(dims), method, bool(linearize), n_pad,
+        starts if starts is not None else jnp.zeros(ndims),
+        steps if steps is not None else jnp.ones(ndims),
+        tuple(grids) if grids is not None else (), obs,
     )
-    w64 = jnp.concatenate(
-        [w.reshape(1, n) for pa in per_axis for w in pa[1]], axis=0
-    )
-    wh, wl = _split_f64(w64)
-    pad = n_pad - n
-    locs = jnp.pad(locs, ((0, 0), (0, pad)))
-    wh = jnp.pad(wh, ((0, 0), (0, pad)))
-    wl = jnp.pad(wl, ((0, 0), (0, pad)))
-    # GLOBAL center out in exact f64: the in-kernel center restoration is
-    # double-float (~2^-47 relative of the center magnitude), so a global
-    # offset (temperatures ~300) would cost 2^-47 * 300 ~ 2e-12. Extracted
-    # here, its contribution c0 * prod_axes(sum_i w_ai) evaluates in f64
-    # (~2^-52); the kernel's df center path only carries the row-to-row
-    # residuals.
-    wsum = None
-    for pa in per_axis:
-        s = sum(pa[1])
-        wsum = s if wsum is None else wsum * s
     pieces, ch, cl, sv, c0 = prepare(dims, vals)
     oh, ol = _pallas_i8(
         tuple(dims), footprint, locs, wh, wl, pieces, ch, cl, sv
