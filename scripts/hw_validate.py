@@ -137,6 +137,40 @@ def run() -> int:
         failures += 0 if ok else 1
         print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
               f"{method:7s} df64        relerr {err:.2e}", flush=True)
+
+    # round 3: looped df64 (lead > 2048) and the int8 MXU engine
+    from interpn_tpu.ops import pallas_i8 as pi8
+
+    for dims, method, engine in (
+        ((20, 20, 20, 20), "cubic", "df64-looped"),
+        ((12,) * 5, "cubic", "df64-looped"),
+        ((20, 20, 20), "cubic", "i8"),
+        ((20, 20, 20), "linear", "i8"),
+        ((20, 20, 20, 20), "cubic", "i8"),
+        ((12,) * 5, "cubic", "i8"),
+        ((40, 40, 40), "cubic", "i8"),
+    ):
+        nd = len(dims)
+        starts = jnp.asarray(rng.uniform(-1, 1, nd))
+        steps = jnp.asarray(rng.uniform(0.3, 1.0, nd))
+        vals = jnp.asarray(rng.standard_normal(math.prod(dims)))
+        obs = tuple(
+            jnp.asarray(rng.uniform(float(starts[k]) - 1,
+                                    float(starts[k]) + float(steps[k]) * dims[k], N))
+            for k in range(nd)
+        )
+        eng = pdf if engine.startswith("df64") else pi8
+        out = np.asarray(eng.eval_regular(dims, starts, steps, vals, obs, method))
+        ref = np.asarray(
+            gl.linear_regular(dims, starts, steps, vals, obs)
+            if method == "linear"
+            else gc.cubic_regular(dims, starts, steps, vals, obs, True)
+        )
+        err = float(np.max(np.abs(out - ref))) / max(float(np.max(np.abs(ref))), 1e-30)
+        ok = err <= 1e-12
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
+              f"{method:7s} {engine:11s} relerr {err:.2e}", flush=True)
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return failures
 

@@ -9,7 +9,9 @@ set -euo pipefail
 work=$(mktemp -d)
 trap 'rm -rf "$work"' EXIT
 echo "== build sdist + wheel =="
-python -m pip wheel --no-deps -w "$work/dist" . >/dev/null
+# --no-build-isolation: zero-egress environments cannot fetch
+# build deps; the installed setuptools satisfies pyproject.toml
+python -m pip wheel --no-deps --no-build-isolation -w "$work/dist" . >/dev/null
 (python -m build --sdist -o "$work/dist" >/dev/null 2>&1 && echo "sdist built") \
   || echo "sdist skipped (python-build not installed; wheel built via pip)"
 ls -l "$work/dist"
