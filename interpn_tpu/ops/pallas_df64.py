@@ -163,20 +163,26 @@ def _df_madd(th, tl, ah, al, bh, bl):
     Round-3 plane-op diet (the kernel measures at ~VPU peak, so throughput
     is exactly proportional to the per-cell op count): the Veltkamp splits
     run on the BROADCAST factors (columns/rows — sub-plane cost), the
-    product error assembles in 9 plane ops, the cross terms in 3, and the
-    accumulation defers normalization (the final f64 recombine outside the
-    kernel makes per-step renorm unnecessary; stages renormalize once via
-    _df_norm so the dropped al*bl term stays below 2^-47 of the result).
-    21 (m, tq)-plane ops per call vs 27 for _df_mul + _df_add — measured
-    1.24x on the 20^4 kernel."""
+    product error assembles in 9 plane ops, the cross terms in 3, the
+    product pair normalizes once (3), and the accumulation is a deferred
+    two_sum (the final f64 recombine outside the kernel makes per-step
+    ACCUMULATOR renorm unnecessary). 24 (m, tq)-plane ops per call vs 27
+    for _df_mul + _df_add.
+
+    Two orderings here are load-bearing (both measured as parity breaks):
+    * Dekker's left-to-right error association — each partial sum is
+      exactly representable only in this order (regrouping: ~4e-9).
+    * The PRODUCT normalization before accumulation — it funnels `low`
+      into the hi channel, where the two_sum captures it exactly; feeding
+      raw (p, low) into deferred accumulation loses the low mass under
+      multi-axis extrapolation cancellation (~8e-7 at a fuzz-found
+      dims=(2,3,4) deep-negative-t point; the round-2 fuzzer caught it)."""
     ahh, ahl = _veltkamp(ah)
     bhh, bhl = _veltkamp(bh)
     p = ah * bh
-    # Dekker's left-to-right association is load-bearing: each partial sum
-    # is exactly representable only in this order (regrouping costs ~2^-35
-    # per product — measured as a 4e-9 parity break).
     err = (((ahh * bhh - p) + ahh * bhl) + ahl * bhh) + ahl * bhl
     low = err + (ah * bl + al * bh)
+    p, low = _df_norm(p, low)
     s, e = _two_sum(th, p)
     return s, tl + (e + low)
 
@@ -252,17 +258,15 @@ def _contract_slab(vh, vl, wmats, dims, m: int, tq: int):
         sh = jnp.zeros((max(lead_k, 1), tq), _F32)
         sl = jnp.zeros((max(lead_k, 1), tq), _F32)
         for b in range(dims[k]):
-            # Tails keep the per-step NORMALIZED accumulation: the deferred
-            # -low form loses ~5e-5 under multi-axis stencil cancellation
-            # here (measured at 5D deep extrapolation), and tail
-            # row-iterations are a minor cost share next to the rank-1
-            # stage (3% at 20^4).
-            ph, plo = _df_mul(
-                g_h[:, b, :], g_l[:, b, :],
+            # _df_madd is safe here BECAUSE it normalizes the product pair
+            # before the deferred accumulation (see its docstring — the
+            # raw-pair form lost ~5e-5 in exactly these amplified tail
+            # stages).
+            sh, sl = _df_madd(
+                sh, sl, g_h[:, b, :], g_l[:, b, :],
                 wh[b, :].reshape(1, tq), wl[b, :].reshape(1, tq),
             )
-            sh, sl = _df_add(sh, sl, ph, plo)
-        th, tl = sh, sl
+        th, tl = _two_sum(sh, sl)  # exact renorm for the next stage
     return th, tl
 
 
@@ -385,10 +389,22 @@ def _pallas_df64(dims, footprint, locs_mat, wh, wl, vh, vl):
         vh = vh.reshape(tshape)
         vl = vl.reshape(tshape)
     nw = ndims * footprint
+    # Scoped-VMEM headroom, unconditional: Mosaic's stack accounting for
+    # the unrolled double-float chains keeps tens of (rows, tq) f32 planes
+    # live (a 12^5 looped config measured 20.5 MB against the 16 MB
+    # default — and a static estimate of "live" planes undercounts what
+    # the compiler actually reserves). The limit is scoped accounting, not
+    # an allocation; v5e has the physical VMEM.
+    params = {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    }
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             kernel,
             grid=(n // tq,),
+            **params,
             in_specs=[
                 pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -89,6 +89,13 @@ _MAX_LEAD = 2048
 # per-row spike gate: rows whose |v - midrange| max exceeds this multiple
 # of the row's mean absolute deviation push the table to the df64 engine
 _ROW_SPIKE_RATIO = 1024.0
+# Engine contract = its dispatch regime: below this the df64 VPU engine is
+# preferable anyway (dispatch._prefer_i8), and the int8 error model (W
+# quantization is ABSOLUTE per stencil entry at 2^-49 of the per-query
+# weight peak, so deep multi-axis extrapolation on tiny grids amplifies it
+# by the grouped stencil size — fuzz-measured 1.4e-8 on a 1600-cell 5D
+# rectilinear cubic at 3-cell extrapolation, where df64 holds 1e-13)
+_MIN_CELLS = 4096
 
 
 def _choose_group(dims) -> int:
@@ -144,6 +151,8 @@ def supported(dims, method: str, vals=None) -> bool:
     if len(dims) < 2 or len(dims) > 8:
         return False
     if dims[-1] < 2 or math.prod(dims) * NPIECE_V > _MAX_VALS_BYTES:
+        return False
+    if math.prod(dims) < _MIN_CELLS and mode != "i8":
         return False
     g, lead, k = _shape(dims)
     if lead > _MAX_LEAD:
