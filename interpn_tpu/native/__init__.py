@@ -76,8 +76,11 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if os.environ.get("INTERPN_TPU_NATIVE", "1") == "0":
-        return None
+    # No INTERPN_TPU_NATIVE check here: _load memoizes, so consulting the
+    # env at first-load time would bake a transient =0 into the process
+    # forever (callers flipping it per call — the documented behavior —
+    # would silently lose the backend). The env gate lives in use_native(),
+    # which reads it per call; building the library itself is harmless.
     path = _build()
     if path is None:
         return None

@@ -266,7 +266,12 @@ def linear_regular(dims, starts, steps, vals, obs, *, vals_finite=None):
         vals.dtype, math.prod(dims), obs[0], vf, dims, "linear", vals_ref=vals
     )
     if impl == "i8":
-        prim = lambda st, sp, v, *ob: _pi8.eval_regular(dims, st, sp, v, ob, "linear")
+        # hoist the host-side table decomposition: custom_jvp TRACES the
+        # primal even on eager calls, and prepare() needs concrete values
+        prep = _pi8.prepare(tuple(dims), vals)
+        prim = lambda st, sp, v, *ob: _pi8.eval_regular(
+            dims, st, sp, v, ob, "linear", prep=prep
+        )
         gat = lambda st, sp, v, *ob: _linear_reg_gather(dims, st, sp, v, ob)
         return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
     if impl == "df64":
@@ -293,7 +298,10 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
     )
     ng = len(grids)
     if impl == "i8":
-        prim = lambda *a: _pi8.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "linear")
+        prep = _pi8.prepare(dims, vals)  # see linear_regular
+        prim = lambda *a: _pi8.eval_rectilinear(
+            a[:ng], a[ng], a[ng + 1:], "linear", prep=prep
+        )
         gat = lambda *a: _linear_rect_gather(a[:ng], a[ng], a[ng + 1:])
         return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "df64":
@@ -322,8 +330,9 @@ def cubic_regular(
     )
     lin = bool(linearize_extrapolation)
     if impl == "i8":
+        prep = _pi8.prepare(tuple(dims), vals)  # see linear_regular
         prim = lambda st, sp, v, *ob: _pi8.eval_regular(
-            dims, st, sp, v, ob, "cubic", lin
+            dims, st, sp, v, ob, "cubic", lin, prep=prep
         )
         gat = lambda st, sp, v, *ob: _cubic_reg_gather(dims, st, sp, v, ob, lin)
         return _with_gather_jvp(prim, gat)(starts, steps, vals, *obs)
@@ -356,7 +365,10 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     ng = len(grids)
     lin = bool(linearize_extrapolation)
     if impl == "i8":
-        prim = lambda *a: _pi8.eval_rectilinear(a[:ng], a[ng], a[ng + 1:], "cubic", lin)
+        prep = _pi8.prepare(dims, vals)  # see linear_regular
+        prim = lambda *a: _pi8.eval_rectilinear(
+            a[:ng], a[ng], a[ng + 1:], "cubic", lin, prep=prep
+        )
         gat = lambda *a: _cubic_rect_gather(a[:ng], a[ng], a[ng + 1:], lin)
         return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "df64":

@@ -475,7 +475,7 @@ def _pallas_i8(dims, footprint, locs_mat, wh, wl, pieces, ch, cl, sv):
     return oh, ol
 
 
-def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
+def _eval(dims, starts, steps, grids, vals, obs, method, linearize, prep=None):
     footprint = 2 if method == "linear" else 4
     g, lead, ksize = _shape(dims)
     tq = _tile_q(lead, ksize)
@@ -500,7 +500,7 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
         steps if steps is not None else jnp.ones(ndims),
         tuple(grids) if grids is not None else (), obs,
     )
-    pieces, ch, cl, sv, c0 = prepare(dims, vals)
+    pieces, ch, cl, sv, c0 = prep if prep is not None else prepare(dims, vals)
     oh, ol = _pallas_i8(
         tuple(dims), footprint, locs, wh, wl, pieces, ch, cl, sv
     )
@@ -508,12 +508,20 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
     return base + c0 * wsum.reshape(-1)
 
 
-def eval_regular(dims, starts, steps, vals, obs, method, linearize=True):
-    """int8-multipass f64 evaluation on a regular grid."""
-    return _eval(tuple(dims), starts, steps, None, vals, obs, method, linearize)
+def eval_regular(dims, starts, steps, vals, obs, method, linearize=True,
+                 prep=None):
+    """int8-multipass f64 evaluation on a regular grid.
+
+    `prep` (from `prepare(dims, vals)`) lets callers that must trace this
+    function (dispatch's custom_jvp wrapper) hoist the host-side table
+    decomposition out of the trace; without it, `vals` must be concrete."""
+    return _eval(
+        tuple(dims), starts, steps, None, vals, obs, method, linearize, prep
+    )
 
 
-def eval_rectilinear(grids, vals, obs, method, linearize=True):
-    """int8-multipass f64 evaluation on a rectilinear grid."""
+def eval_rectilinear(grids, vals, obs, method, linearize=True, prep=None):
+    """int8-multipass f64 evaluation on a rectilinear grid (see
+    eval_regular for `prep`)."""
     dims = tuple(int(g.shape[0]) for g in grids)
-    return _eval(dims, None, None, grids, vals, obs, method, linearize)
+    return _eval(dims, None, None, grids, vals, obs, method, linearize, prep)
