@@ -229,12 +229,12 @@ def _decompose_table(vals, lead: int, k: int):
         r = r - q * 2.0 ** (-(6 + 7 * i))
     ch = mid.astype(np.float32)
     cl = (mid - ch.astype(np.float64)).astype(np.float32)
-    return (
-        jnp.asarray(pieces),
-        jnp.asarray(ch),
-        jnp.asarray(cl),
-        jnp.asarray(scale.astype(np.float32)),
-    )
+    # NUMPY outputs, deliberately: converting to jax arrays here would
+    # create TRACERS when a caller traces this path (e.g. jit with the
+    # table closed over — scripts/warm_cache.py does), and cached tracers
+    # leak across traces (UnexpectedTracerError, measured). prepare()
+    # materializes device copies only outside traces.
+    return pieces, ch, cl, scale.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -304,30 +304,55 @@ _PREP_ORDER: list = []
 _PREP_MAX = 8
 
 
+def _trace_clean() -> bool:
+    try:
+        from jax._src import core as _jcore  # not re-exported by jax.core
+
+        return _jcore.trace_state_clean()
+    except (ImportError, AttributeError):  # pragma: no cover - jax layout
+        return False  # safe default: numpy constants always work
+
+
 def prepare(dims, vals):
     """Host-side table decomposition (cached): (pieces, centers hi/lo,
     scales, global center c0). Requires concrete values — the whole point
-    of the host prep is true-f64 arithmetic (see _decompose_table)."""
+    of the host prep is true-f64 arithmetic (see _decompose_table).
+
+    Cache entries hold HOST numpy plus lazily-materialized device copies.
+    Device copies are only created OUTSIDE traces: under an active trace
+    (a caller jitting over this path with the table closed over), device
+    conversion would yield tracers, and cached tracers leak across traces;
+    the numpy arrays instead embed as constants in that caller's program."""
     key = (id(vals), tuple(dims))
     hit = _PREP_CACHE.get(key)
-    if hit is not None and hit[0] is vals:
-        return hit[1]
-    g, lead, ksize = _shape(dims)
-    lead_pad, k_pad = _pad128(lead), _pad128(ksize)
-    v_np = np.asarray(vals, dtype=np.float64)
-    c0 = float((v_np.max() + v_np.min()) * 0.5)
-    # zero-pad both contraction extents to 128 (see _shape)
-    v2 = np.pad(
-        (v_np - c0).reshape(lead, ksize),
-        ((0, lead_pad - lead), (0, k_pad - ksize)),
-    )
-    pieces, ch, cl, sv = _decompose_table(v2, lead_pad, k_pad)
-    prep = (pieces, ch, cl, sv, c0)
-    _PREP_CACHE[key] = (vals, prep)
-    _PREP_ORDER.append(key)
-    while len(_PREP_ORDER) > _PREP_MAX:
-        _PREP_CACHE.pop(_PREP_ORDER.pop(0), None)
-    return prep
+    if hit is None or hit[0] is not vals:
+        g, lead, ksize = _shape(dims)
+        lead_pad, k_pad = _pad128(lead), _pad128(ksize)
+        v_np = np.asarray(vals, dtype=np.float64)
+        c0 = float((v_np.max() + v_np.min()) * 0.5)
+        # zero-pad both contraction extents to 128 (see _shape)
+        v2 = np.pad(
+            (v_np - c0).reshape(lead, ksize),
+            ((0, lead_pad - lead), (0, k_pad - ksize)),
+        )
+        pieces, ch, cl, sv = _decompose_table(v2, lead_pad, k_pad)
+        hit = [vals, (pieces, ch, cl, sv, c0), None]
+        _PREP_CACHE[key] = hit
+        _PREP_ORDER.append(key)
+        while len(_PREP_ORDER) > _PREP_MAX:
+            _PREP_CACHE.pop(_PREP_ORDER.pop(0), None)
+    if not _trace_clean():
+        return hit[1]  # numpy: embeds as constants in the caller's trace
+    if hit[2] is None:
+        pieces, ch, cl, sv, c0 = hit[1]
+        hit[2] = (
+            jnp.asarray(pieces),
+            jnp.asarray(ch),
+            jnp.asarray(cl),
+            jnp.asarray(sv),
+            c0,
+        )
+    return hit[2]
 
 
 def _make_kernel(dims, footprint: int, g: int, lead: int, ksize: int, tq: int):

@@ -195,3 +195,38 @@ def test_public_paths_route_to_i8(monkeypatch):
     m = it.MulticubicRegular.new(dims, np.zeros(3), np.ones(3), vals)
     m.eval(obs)
     assert len(calls) == 2
+
+
+def test_i8_under_closure_jit_no_tracer_leak(monkeypatch):
+    """A caller jitting over the dispatch path with the table closed over
+    (scripts/warm_cache.py's pattern) traces prepare(): cached device
+    conversions made inside a trace are tracers and leaked into later
+    traces (UnexpectedTracerError, caught by the release dry-run). Two
+    distinct traces plus an eager call must all work."""
+    import jax
+
+    from interpn_tpu.ops import dispatch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(4)
+    dims = (20, 20, 20)
+    vals = jnp.asarray(rng.standard_normal(8000))
+    st, sp = jnp.zeros(3), jnp.ones(3)
+    outs = []
+    for trial in range(2):
+        obs = tuple(
+            jnp.asarray(rng.uniform(0, 19, 2048 * (trial + 1)))
+            for _ in range(3)
+        )
+        out = jax.jit(
+            lambda o: dispatch.cubic_regular(dims, st, sp, vals, o, True)
+        )(obs)
+        outs.append(jax.block_until_ready(out))
+    obs = tuple(jnp.asarray(rng.uniform(0, 19, 4096)) for _ in range(3))
+    outs.append(
+        jax.block_until_ready(
+            dispatch.cubic_regular(dims, st, sp, vals, obs, True)
+        )
+    )
+    for o in outs:
+        assert np.all(np.isfinite(np.asarray(o)))
