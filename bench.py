@@ -185,7 +185,10 @@ def _device_headline_watchdog():
         subprocess.run(
             [sys.executable, __file__, "--device-probe"],
             capture_output=True,
-            timeout=int(os.environ.get("INTERPN_TPU_PROBE_TIMEOUT", "150")),
+            # measured: a healthy relay completes the tiny probe in ~130 s
+            # (process init + 2 remote compiles); 240 s still fails ~2x
+            # faster than the 420 s headline budget on a real wedge
+            timeout=int(os.environ.get("INTERPN_TPU_PROBE_TIMEOUT", "240")),
             text=True,
         )
     except subprocess.TimeoutExpired:
@@ -232,21 +235,25 @@ def _device_headline_watchdog():
 def main():
     full = "--full" in sys.argv
     if "--device-probe" in sys.argv:
-        # liveness probe: one small untimed eval (compile cached for the
-        # child via the persistent XLA cache when available)
+        # liveness probe: the CHEAPEST possible compile (a tiny 2D linear
+        # eval) — the question is "is the relay responsive", and a big
+        # probe program's own compile time would false-alarm the watchdog
+        # (measured: a 100k-point 3D probe took > 150 s to compile on a
+        # healthy but busy relay)
         import jax
         import jax.numpy as jnp
 
+        out = jax.block_until_ready(jnp.arange(64.0, dtype=jnp.float32) * 2)
         from interpn_tpu import ops
 
-        dtype = jnp.float32
-        _, _, starts, steps, vals = _grid(3, dtype)
-        rng = np.random.default_rng(9)
-        obs = tuple(
-            jnp.asarray(rng.uniform(-0.5, 10.5, 100_000), dtype) for _ in range(3)
+        o = tuple(
+            jnp.linspace(0.0, 3.0, 256, dtype=jnp.float32) for _ in range(2)
         )
-        out = ops.linear_regular((GRID_N,) * 3, starts, steps, vals, obs)
-        jax.block_until_ready(out)
+        r = ops.linear_regular(
+            (4, 4), jnp.zeros(2), jnp.ones(2),
+            jnp.arange(16.0, dtype=jnp.float32), o,
+        )
+        jax.block_until_ready(r)
         print("PROBE OK")
         return
     if "--device-child" in sys.argv:

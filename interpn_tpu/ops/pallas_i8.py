@@ -82,8 +82,10 @@ SMAX = 7  # keep piece pairs with i + j <= SMAX (35 passes)
 _MAX_TQ = 512
 _MIN_TQ = 128
 _TILE_BYTES = 1 << 20
-# value table budget: NPIECE_V int8 copies + centers/scales
-_MAX_VALS_BYTES = 2 * 1024 * 1024
+# value table budget: NPIECE_V int8 copies + centers/scales. 8 MB of
+# pieces = 1M f64 cells (e.g. a 30^4 grid, 6.5 MB) — fits v5e VMEM with
+# the raised scoped limit below.
+_MAX_VALS_BYTES = 8 * 1024 * 1024
 _MAX_GROUP_K = 2048
 _MAX_LEAD = 2048
 # per-row spike gate: rows whose |v - midrange| max exceeds this multiple
@@ -472,10 +474,19 @@ def _pallas_i8(dims, footprint, locs_mat, wh, wl, pieces, ch, cl, sv):
     kernel = _make_kernel(dims, footprint, g, lead, ksize, tq)
     nw = ndims * footprint
     col = lambda i: (0, 0)
+    # scoped-VMEM headroom (see pallas_df64): the int32 level groups alone
+    # hold up to 8 (lead_pad, tq) i32 planes (8.4 MB at 512x512), plus the
+    # piece tables and df temporaries
+    params = {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    }
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
             kernel,
             grid=(n // tq,),
+            **params,
             in_specs=[
                 pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
