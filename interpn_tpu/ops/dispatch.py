@@ -21,7 +21,10 @@ Five device implementations cover every method x grid-kind family:
   double-float on the VPU, any supported shape) and `i8`
   (ops.pallas_i8 — exact-int32 int8 multipass on the MXU, same ~2^-47
   accuracy class at 19-46x the gather rate; needs a concrete,
-  non-spiky table).
+  non-spiky table). Beyond its hardware-validated regime the i8 engine
+  self-gates on a padded-volume cost model vs the gather tree
+  (pallas_i8.supported), which admits e.g. 50^3-64^3 and 17^5 cubic
+  f64 but keeps 100^3 and all large-grid linear on gather.
 
 Selection happens at trace time from static information (dtype, grid size,
 query count, backend). Overrides: INTERPN_TPU_IMPL=gather|factorized|pallas,

@@ -78,16 +78,38 @@ _F32 = jnp.float32
 NPIECE_V = 8
 NPIECE_W = 7
 SMAX = 7  # keep piece pairs with i + j <= SMAX (35 passes)
+NPASSES = sum(
+    1 for i in range(NPIECE_V) for j in range(NPIECE_W) if i + j <= SMAX
+)
 
 _MAX_TQ = 512
 _MIN_TQ = 128
 _TILE_BYTES = 1 << 20
-# value table budget: NPIECE_V int8 copies + centers/scales. 8 MB of
-# pieces = 1M f64 cells (e.g. a 30^4 grid, 6.5 MB) — fits v5e VMEM with
-# the raised scoped limit below.
-_MAX_VALS_BYTES = 8 * 1024 * 1024
 _MAX_GROUP_K = 2048
-_MAX_LEAD = 2048
+# Hard VMEM ceilings (PADDED sizes are what actually resides): at
+# tq = 128 the 8 int32 level-group planes cost 8 * 4 * pad(lead) * tq
+# bytes (25 MB at lead 6144) and the piece tables NPIECE_V * pad(lead) *
+# pad(k) (<= 24 MB); together with the df temporaries the worst admitted
+# shape sits ~60 MB under the 96 MB scoped limit below.
+_MAX_LEAD = 6144
+_MAX_PIECES_BYTES = 24 * 1024 * 1024
+# The regime validated on hardware through round 3 (benches/
+# exp_i8_engine.py, 96-config sweep): inside it the engine won at every
+# measured shape, so no cost model is consulted. Shapes beyond it (lead
+# up to _MAX_LEAD, pieces up to _MAX_PIECES_BYTES) are admitted only when
+# the padded-volume cost model predicts a clear win over the f64 gather
+# tree (see _est_rates).
+_LEGACY_LEAD = 2048
+_LEGACY_VALS_BYTES = 8 * 1024 * 1024
+# Cost-model constants, both from v5e measurement (docs/perf.md): the
+# engine sustains ~45-48 T int8-MAC/s of PADDED block volume end-to-end
+# (20^3 cubic: 21.1 Mq/s * 35 passes * 512x128 = 48.4 T), and the f64
+# gather tree evaluates ~62 M stencil elements/s whatever the grid size
+# (linear 3D 7.75, cubic 2D/3D/4D 3.9/0.97/0.21 Mq/s — all within 15% of
+# 62e6 / footprint^ndims).
+_I8_EFF_MAC_RATE = 45e12
+_GATHER_ELEM_RATE = 62e6
+_COST_MARGIN = 1.5
 # per-row spike gate: rows whose |v - midrange| max exceeds this multiple
 # of the row's mean absolute deviation push the table to the df64 engine
 _ROW_SPIKE_RATIO = 1024.0
@@ -143,6 +165,18 @@ def _tile_q(lead: int, k: int) -> int:
     return max(_MIN_TQ, min(_MAX_TQ, tq))
 
 
+def _est_rates(dims, method: str):
+    """(estimated i8 queries/s, estimated f64-gather queries/s) from the
+    measured constants above. The i8 cost per query is the padded MXU
+    block volume times the 35 passes; the gather tree touches
+    footprint^ndims stencil elements per query."""
+    g, lead, k = _shape(dims)
+    i8 = _I8_EFF_MAC_RATE / (NPASSES * _pad128(lead) * _pad128(k))
+    footprint = 2 if method == "linear" else 4
+    gather = _GATHER_ELEM_RATE / footprint ** len(dims)
+    return i8, gather
+
+
 def supported(dims, method: str, vals=None) -> bool:
     """Shape + (when a concrete table is given) spikiness eligibility."""
     mode = os.environ.get("INTERPN_TPU_F64", "auto")
@@ -152,13 +186,26 @@ def supported(dims, method: str, vals=None) -> bool:
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
-    if dims[-1] < 2 or math.prod(dims) * NPIECE_V > _MAX_VALS_BYTES:
+    if dims[-1] < 2:
         return False
     if math.prod(dims) < _MIN_CELLS and mode != "i8":
         return False
     g, lead, k = _shape(dims)
-    if lead > _MAX_LEAD:
+    lead_pad, k_pad = _pad128(lead), _pad128(k)
+    if lead_pad > _MAX_LEAD or NPIECE_V * lead_pad * k_pad > _MAX_PIECES_BYTES:
         return False
+    legacy = (
+        lead <= _LEGACY_LEAD
+        and math.prod(dims) * NPIECE_V <= _LEGACY_VALS_BYTES
+    )
+    if not legacy and mode != "i8":
+        # shapes beyond the hardware-validated regime route here only on
+        # a predicted >= _COST_MARGIN win over the gather tree: e.g. 50^3
+        # cubic (est 3.9 vs 0.97 Mq/s) is admitted, 100^3 (1.0 vs 0.97)
+        # and every large-grid linear config stay on gather
+        est_i8, est_gather = _est_rates(dims, method)
+        if est_i8 < _COST_MARGIN * est_gather:
+            return False
     if vals is not None and mode != "i8":
         if isinstance(vals, jax.core.Tracer):
             return False  # decomposition needs concrete values

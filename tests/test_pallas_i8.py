@@ -149,6 +149,42 @@ def test_i8_supported_gate():
     assert seen == [False]
 
 
+def test_i8_cost_model_gate():
+    """Beyond the hardware-validated regime (lead <= 2048, pieces <= 8 MB)
+    shapes are admitted only on a predicted >= 1.5x win over the f64
+    gather tree: large-grid cubic factorings with moderate padded volume
+    qualify, 100^3 (predicted ~parity) and large-grid linear (gather is
+    8x cheaper per query than cubic) do not."""
+    assert i8.supported((50, 50, 50), "cubic")  # lead 2500: est 3.9 vs 0.97
+    assert i8.supported((64, 64, 64), "cubic")  # lead 4096: est 2.5 vs 0.97
+    assert i8.supported((17,) * 5, "cubic")  # 1.4M cells: est 0.67 vs 0.06
+    assert not i8.supported((100, 100, 100), "cubic")  # est 1.0: no margin
+    assert not i8.supported((50, 50, 50), "linear")  # gather linear ~7.8
+    assert not i8.supported((1500, 1400), "cubic")  # est 0.6 vs 3.9
+
+
+def test_i8_vmem_ceilings_bind_even_when_forced(monkeypatch):
+    """INTERPN_TPU_F64=i8 skips the cost model and the spike gate but the
+    VMEM ceilings are hard capability limits."""
+    monkeypatch.setenv("INTERPN_TPU_F64", "i8")
+    assert i8.supported((50, 50, 50), "cubic")
+    assert not i8.supported((7000, 4), "cubic")  # pad(lead) > 6144
+    assert not i8.supported((2000, 2000), "cubic")  # pieces 33.5 MB > 24
+
+
+def test_i8_large_lead_parity():
+    """A new-region shape (50^3: lead 2500 > the legacy 2048 cap) through
+    the unchanged kernel, vs the f64 gather tree at the engine's bar."""
+    rng = np.random.default_rng(11)
+    dims = (50, 50, 50)
+    starts, steps = jnp.zeros(3), jnp.ones(3)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    obs = tuple(jnp.asarray(rng.uniform(-1.0, d, 256)) for d in dims)
+    a = np.asarray(i8.eval_regular(dims, starts, steps, vals, obs, "cubic"))
+    b = np.asarray(ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True))
+    np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-13)
+
+
 def test_i8_env_override(monkeypatch):
     v = jnp.zeros(400)
     monkeypatch.setenv("INTERPN_TPU_F64", "df64")
