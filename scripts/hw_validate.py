@@ -149,6 +149,10 @@ def run() -> int:
         ((20, 20, 20, 20), "cubic", "i8"),
         ((12,) * 5, "cubic", "i8"),
         ((40, 40, 40), "cubic", "i8"),
+        # new-region shapes (cost-model admission, lead > 2048 / big tables)
+        ((50, 50, 50), "cubic", "i8"),
+        ((64, 64, 64), "cubic", "i8"),
+        ((17,) * 5, "cubic", "i8"),
     ):
         nd = len(dims)
         starts = jnp.asarray(rng.uniform(-1, 1, nd))
