@@ -175,6 +175,31 @@ def run() -> int:
         failures += 0 if ok else 1
         print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
               f"{method:7s} {engine:11s} relerr {err:.2e}", flush=True)
+
+    # rectilinear arms of the f64 engines (CPU-fuzzed; verify Mosaic too)
+    for dims, method, engine in (
+        ((12, 10, 14), "cubic", "df64-rect"),
+        ((20, 20, 20), "cubic", "i8-rect"),
+        ((20, 20, 20, 20), "cubic", "i8-rect"),
+    ):
+        nd = len(dims)
+        grids64 = tuple(
+            jnp.asarray(np.sort(rng.uniform(0, 10, d)) + np.arange(d) * 1e-3)
+            for d in dims
+        )
+        vals = jnp.asarray(rng.standard_normal(math.prod(dims)))
+        obs = tuple(
+            jnp.asarray(rng.uniform(float(g[0]) - 1, float(g[-1]) + 1, N))
+            for g in grids64
+        )
+        eng = pdf if engine.startswith("df64") else pi8
+        out = np.asarray(eng.eval_rectilinear(grids64, vals, obs, method))
+        ref = np.asarray(gc.cubic_rectilinear(grids64, vals, obs, True))
+        err = float(np.max(np.abs(out - ref))) / max(float(np.max(np.abs(ref))), 1e-30)
+        ok = err <= 1e-12
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
+              f"{method:7s} {engine:11s} relerr {err:.2e}", flush=True)
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return failures
 
