@@ -158,11 +158,12 @@ class InterpolatorBase(BaseModel):
 
     def _check_eval_dtypes(self, obs, out=None):
         """Reference parity: the wrapper classes hand obs/out straight to
-        monomorphized kernels, so a float array of the OTHER width raises
-        TypeError (PyO3's `PyReadonlyArray1<T>` extraction refuses it,
-        `src/python.rs:58-80`) instead of silently casting. Non-array
-        inputs (lists, scalars, int arrays) remain accepted and are
-        converted — a documented extension of the class API."""
+        monomorphized kernels, so an ARRAY of any other dtype — the other
+        float width, or an integer array — raises TypeError (PyO3's
+        `PyReadonlyArray1<T>` extraction refuses them, `src/python.rs:58-80`)
+        instead of silently casting or bit-reinterpreting. Non-array
+        inputs (lists, scalars) remain accepted and are converted — a
+        documented extension of the class API."""
         want = np.dtype(self._dtype)
         pairs = [("obs", o) for o in obs]
         if out is not None:
@@ -172,7 +173,7 @@ class InterpolatorBase(BaseModel):
             if dt is None:
                 continue
             dt = np.dtype(dt)
-            if dt != want and dt in (np.float32, np.float64):
+            if dt != want:
                 raise TypeError(
                     f"argument '{name}': expected a {want.name} array,"
                     f" got {dt.name}"
@@ -209,7 +210,10 @@ class InterpolatorBase(BaseModel):
         preallocated array (reference semantics)."""
         if out is not None:
             return self.eval_unchecked(obs, out)
-        out = np.zeros_like(obs[0])
+        # allocate in the MODEL dtype: zeros_like(obs[0]) would produce
+        # float64 for list observations and trip the strict out-dtype
+        # check on float32 models (lists are a documented accepted input)
+        out = np.zeros(np.shape(obs[0]), dtype=self._dtype)
         self.eval_unchecked(obs, out)
         return out
 
@@ -286,13 +290,21 @@ class InterpolatorBase(BaseModel):
         prep), allocated output, non-ndarray/device observations, and the
         device fallback."""
         self._check_grid_sizes()
-        out_inner = out if out is not None else np.zeros_like(obs[0])
+        out_inner = (
+            out if out is not None
+            else np.zeros(np.shape(obs[0]), dtype=self._dtype)
+        )
         self._check_obs_sizes(obs, out_inner)
         self._check_eval_dtypes(obs, out_inner)
         nat = self._native
         if nat is None:
-            object.__setattr__(self, "_native", self._prepare_native() or False)
-            nat = self._native
+            prep = self._prepare_native()
+            if prep is not None or not native.load_deferred():
+                # memoize (closure, or genuinely unavailable) — but NOT
+                # when the backend is disabled-and-unbuilt, so flipping
+                # INTERPN_TPU_NATIVE back on retries the build
+                object.__setattr__(self, "_native", prep or False)
+            nat = prep or False
         if nat is not False and type(out_inner) is np.ndarray:
             host = True
             for x in obs:

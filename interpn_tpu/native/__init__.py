@@ -75,12 +75,15 @@ def _load():
     global _lib, _tried
     if _tried:
         return _lib
+    # The dispatch env gate lives in use_native() (read per call, so a
+    # transient =0 never bakes in) — but a g++ compile is NOT harmless:
+    # with the backend disabled and no cached build on disk, skip the
+    # build WITHOUT memoizing, so flipping the env back on re-attempts.
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    if _native_mode() == "0" and not (_DIR / f"libinterpn_native_{tag}.so").exists():
+        return None
     _tried = True
-    # No INTERPN_TPU_NATIVE check here: _load memoizes, so consulting the
-    # env at first-load time would bake a transient =0 into the process
-    # forever (callers flipping it per call — the documented behavior —
-    # would silently lose the backend). The env gate lives in use_native(),
-    # which reads it per call; building the library itself is harmless.
     path = _build()
     if path is None:
         return None
@@ -102,16 +105,19 @@ def _load_fastcall():
     global _fastcall, _fastcall_tried
     if _fastcall_tried:
         return _fastcall
-    _fastcall_tried = True
     import importlib.machinery
     import importlib.util
     import sysconfig
 
     src = _DIR / "fastcall.c"
     if not src.exists():  # source not shipped: ctypes path still works
+        _fastcall_tried = True
         return None
     tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
     so = _DIR / f"_interpn_fastcall_{tag}.so"
+    if _native_mode() == "0" and not so.exists():
+        return None  # disabled + unbuilt: skip the compile, don't memoize
+    _fastcall_tried = True
     if not so.exists():
         inc = sysconfig.get_paths()["include"]
         cmd = [
@@ -135,6 +141,13 @@ def _load_fastcall():
 
 def available() -> bool:
     return _load() is not None
+
+
+def load_deferred() -> bool:
+    """True while _load has skipped building (INTERPN_TPU_NATIVE=0 with no
+    cached binary) without committing: callers should not memoize a
+    native-unavailable result yet."""
+    return not _tried
 
 
 def set_threads(n: int | None) -> bool:
@@ -196,15 +209,16 @@ def _obs_ptrs(obs, dtype):
 
 
 def _obs_dtype_mismatch(obs, dtype) -> bool:
-    """True when any observation input is a float array of the OTHER width.
-    The prepared-call closures fall through on this so the class layer's
-    general path raises the reference-parity TypeError (the monomorphized
-    PyO3 functions refuse such inputs, `src/python.rs:58-80`) instead of
-    `_c` silently casting. Non-float inputs (lists, scalars, int arrays)
-    keep converting — a documented extension of the class API."""
+    """True when any observation input is an ARRAY of any other dtype
+    (the other float width, or an integer array). The prepared-call
+    closures fall through on this so the class layer's general path
+    raises the reference-parity TypeError (the monomorphized PyO3
+    functions refuse such inputs, `src/python.rs:58-80`) instead of `_c`
+    silently casting. Non-array inputs (lists, scalars) keep converting —
+    a documented extension of the class API."""
     for o in obs:
         dt = getattr(o, "dtype", None)
-        if dt is not None and dt != dtype and dt in (np.float32, np.float64):
+        if dt is not None and dt != dtype:
             return True
     return False
 

@@ -92,6 +92,8 @@ def _prefer_i8(dims, method: str) -> bool:
     the arithmetic rate). Below ~4k cells both engines are padded-block /
     tile-overhead bound and far faster than any caller needs; the VPU
     engine keeps those (smaller first-compile, no table decomposition)."""
+    if os.environ.get("INTERPN_TPU_F64") == "i8":
+        return True  # explicit force: let pallas_i8.supported decide alone
     return math.prod(dims) >= 4096
 
 

@@ -118,7 +118,11 @@ _ROW_SPIKE_RATIO = 1024.0
 # quantization is ABSOLUTE per stencil entry at 2^-49 of the per-query
 # weight peak, so deep multi-axis extrapolation on tiny grids amplifies it
 # by the grouped stencil size — fuzz-measured 1.4e-8 on a 1600-cell 5D
-# rectilinear cubic at 3-cell extrapolation, where df64 holds 1e-13)
+# rectilinear cubic at 3-cell extrapolation, where df64 holds 1e-13).
+# On ADMITTED shapes the amplification is gone: 3-6-cell all-axis
+# extrapolation on 20^3/20^4/12^5 measures <= 7e-14 both linearize modes
+# (pinned by test_i8_deep_extrapolation_parity), so eager public routing
+# needs no per-query extrapolation gate.
 _MIN_CELLS = 4096
 
 
@@ -206,10 +210,13 @@ def supported(dims, method: str, vals=None) -> bool:
         est_i8, est_gather = _est_rates(dims, method)
         if est_i8 < _COST_MARGIN * est_gather:
             return False
-    if vals is not None and mode != "i8":
+    if vals is not None:
         if isinstance(vals, jax.core.Tracer):
-            return False  # decomposition needs concrete values
-        return _table_ok(vals, lead, k)
+            # decomposition needs concrete values — even when forced:
+            # prepare() would np.asarray() the tracer and crash mid-trace
+            return False
+        if mode != "i8":
+            return _table_ok(vals, lead, k)
     return True
 
 
@@ -219,13 +226,36 @@ _STAT_CACHE: dict = {}
 _STAT_ORDER: list = []
 
 
+def _cache_key(vals, extra):
+    """(key, guard) for the stat/prep caches. Host numpy tables key by
+    CONTENT hash: the raw entry points see a fresh device conversion per
+    call, so identity keying missed every time (paying full stats +
+    decomposition + pieces upload per eval on 1M-cell tables), and
+    identity alone is unsafe under in-place mutation anyway. Device/jax
+    arrays (immutable; the model classes cache one per table) key by id
+    with an identity guard — hashing those would force a device->host
+    transfer per call."""
+    if isinstance(vals, np.ndarray):
+        import hashlib
+
+        buf = vals if vals.flags.c_contiguous else np.ascontiguousarray(vals)
+        h = hashlib.blake2b(buf, digest_size=16).digest()
+        return ("h", h, buf.dtype.str, buf.shape) + extra, None
+    return ("i", id(vals)) + extra, vals
+
+
 def _table_ok(vals, lead: int, k: int) -> bool:
-    key = (id(vals), lead, k)
+    key, guard = _cache_key(vals, (lead, k))
     hit = _STAT_CACHE.get(key)
-    if hit is not None and hit[0] is vals:
+    if hit is not None and (guard is None or hit[0] is guard):
         return hit[1]
     v = np.asarray(vals, dtype=np.float64).reshape(lead, k)
-    if not np.isfinite(v).all():
+    span = float(v.max() - v.min()) if v.size else 0.0
+    if not np.isfinite(v).all() or not np.isfinite(span) or span > 2.0**120:
+        # non-finite tables break the decomposition outright; a value SPAN
+        # beyond ~2^120 overflows the float32 row centers/scales (the
+        # global-center extraction bounds |v - c0| by span/2, so absolute
+        # magnitude alone is fine — only the spread matters)
         ok = False
     else:
         # Spike statistic around the MEDIAN: a single huge value inflates
@@ -300,15 +330,12 @@ def _combined_weights_df(wmats, dims, g: int, tq: int):
     for a in range(ndims - 2, ndims - g - 1, -1):
         ah, al = wmats[a]
         da = dims[a]
-        # outer product through a 3D view, in double-float
-        xh = ah.reshape(da, 1, tq) * wh.reshape(1, width, tq)
-        # error term of the product, Dekker-free approximation is NOT enough
-        # here; use full df multiply on the broadcast views
+        # outer product through 3D broadcast views, in full double-float
+        # (a Dekker-free approximate product is NOT enough here)
         ph, plo = _df_mul(
             ah.reshape(da, 1, tq), al.reshape(da, 1, tq),
             wh.reshape(1, width, tq), wl.reshape(1, width, tq),
         )
-        del xh
         wh = ph.reshape(da * width, tq)
         wl = plo.reshape(da * width, tq)
         width *= da
@@ -372,19 +399,29 @@ def prepare(dims, vals):
     (a caller jitting over this path with the table closed over), device
     conversion would yield tracers, and cached tracers leak across traces;
     the numpy arrays instead embed as constants in that caller's program."""
-    key = (id(vals), tuple(dims))
+    key, guard = _cache_key(vals, tuple(dims))
     hit = _PREP_CACHE.get(key)
-    if hit is None or hit[0] is not vals:
+    if hit is None or (guard is not None and hit[0] is not guard):
         g, lead, ksize = _shape(dims)
         lead_pad, k_pad = _pad128(lead), _pad128(ksize)
         v_np = np.asarray(vals, dtype=np.float64)
         c0 = float((v_np.max() + v_np.min()) * 0.5)
-        # zero-pad both contraction extents to 128 (see _shape)
-        v2 = np.pad(
-            (v_np - c0).reshape(lead, ksize),
-            ((0, lead_pad - lead), (0, k_pad - ksize)),
+        # decompose the TRUE extents, pad after: padding the rows first
+        # would let the injected zeros enter every real row's midrange and
+        # scale, inflating the fixed-point step from the row's LOCAL
+        # variation to its offset whenever k % 128 != 0 (the kernel
+        # zero-pads the weight side, so pad content never reaches the
+        # contraction result)
+        pieces, ch, cl, sv = _decompose_table(
+            (v_np - c0).reshape(lead, ksize), lead, ksize
         )
-        pieces, ch, cl, sv = _decompose_table(v2, lead_pad, k_pad)
+        pad2 = ((0, lead_pad - lead), (0, 0))
+        pieces = np.pad(
+            pieces, ((0, 0), (0, lead_pad - lead), (0, k_pad - ksize))
+        )
+        ch = np.pad(ch, pad2)
+        cl = np.pad(cl, pad2)
+        sv = np.pad(sv, pad2, constant_values=1.0)  # avoid 0-scale rows
         hit = [vals, (pieces, ch, cl, sv, c0), None]
         _PREP_CACHE[key] = hit
         _PREP_ORDER.append(key)

@@ -126,31 +126,45 @@ def _i8_eligible(dims, method, vals_j, obs0) -> bool:
     )
 
 
-def _try_i8_regular(dims, starts_j, steps_j, vals_j, obs_j, method, linearize=True):
+def _i8_vals(vals, dtype):
+    """Normalize the table argument for the i8 path, or None to decline.
+
+    `vals` may be the caller's HOST array (raw entry points pass it
+    pre-conversion: pallas_i8's caches then key on stable content/identity
+    instead of a fresh per-call device conversion, and an i8 hit skips the
+    table upload entirely) or the model classes' cached device array."""
+    if dtype is not None and dtype != jnp.float64:
+        return None
+    if not hasattr(vals, "dtype"):  # list input: f64 entry points only
+        vals = np.asarray(vals, dtype=np.float64)
+    return vals if np.dtype(vals.dtype) == np.float64 else None
+
+
+def _try_i8_regular(dims, starts_j, steps_j, vals, obs_j, method,
+                    linearize=True, dtype=None):
     """(result, unrep_flag) via the int8 engine, or None when ineligible."""
-    if vals_j.dtype != jnp.float64 or not _i8_eligible(
-        dims, method, vals_j, obs_j[0]
-    ):
+    vals = _i8_vals(vals, dtype)
+    if vals is None or not _i8_eligible(dims, method, vals, obs_j[0]):
         return None
     from .ops import pallas_i8 as _pi8
 
     out = _pi8.eval_regular(
-        tuple(dims), starts_j, steps_j, vals_j, obs_j, method, linearize
+        tuple(dims), starts_j, steps_j, vals, obs_j, method, linearize
     )
     return out, _unrep_flag_jit(starts_j, steps_j, obs_j)
 
 
-def _try_i8_rectilinear(grids_j, vals_j, obs_j, method, linearize=True):
+def _try_i8_rectilinear(grids_j, vals, obs_j, method, linearize=True,
+                        dtype=None):
     """Result via the int8 engine, or None (rectilinear kernels never
     raise the unrepresentable error — bisection, reference parity)."""
     dims = tuple(int(g.shape[0]) for g in grids_j)
-    if vals_j.dtype != jnp.float64 or not _i8_eligible(
-        dims, method, vals_j, obs_j[0]
-    ):
+    vals = _i8_vals(vals, dtype)
+    if vals is None or not _i8_eligible(dims, method, vals, obs_j[0]):
         return None
     from .ops import pallas_i8 as _pi8
 
-    return _pi8.eval_rectilinear(grids_j, vals_j, obs_j, method, linearize)
+    return _pi8.eval_rectilinear(grids_j, vals, obs_j, method, linearize)
 
 
 def _linear_regular_impl(dims, starts, steps, vals, obs, vals_finite=True):
@@ -391,14 +405,17 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
         dims, starts, steps, vals, obs, out
     ):
         return out
-    vf = _vals_finite_host(dtype, vals)
     core = _linear_regular_don if _fresh_obs(obs) else _linear_regular
-    starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
+    starts_j, steps_j = _prep(dtype, starts, steps)
     obs_j = _prep_list(dtype, obs)
-    i8 = _try_i8_regular(dims, starts_j, steps_j, vals_j, obs_j, "linear")
+    i8 = _try_i8_regular(
+        dims, starts_j, steps_j, vals, obs_j, "linear", dtype=dtype
+    )
     if i8 is not None:
         result, bad = i8
     else:
+        vf = _vals_finite_host(dtype, vals)
+        (vals_j,) = _prep(dtype, vals)
         result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
     _raise_unrep(bad)
     return _finish(result, out)
@@ -426,14 +443,14 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
         grids, vals, obs, out
     ):
         return out
-    vf = _vals_finite_host(dtype, vals)
     core = _linear_rectilinear_don if _fresh_obs(obs) else _linear_rectilinear
     grids_j = _prep_list(dtype, grids)
-    (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    i8 = _try_i8_rectilinear(grids_j, vals_j, obs_j, "linear")
+    i8 = _try_i8_rectilinear(grids_j, vals, obs_j, "linear", dtype=dtype)
     if i8 is not None:
         return _finish(i8, out)
+    vf = _vals_finite_host(dtype, vals)
+    (vals_j,) = _prep(dtype, vals)
     return _finish(core(grids_j, vals_j, obs_j, vf), out)
 
 
@@ -524,17 +541,18 @@ def _interpn_cubic_regular(
         dims, starts, steps, vals, bool(linearize_extrapolation), obs, out
     ):
         return out
-    vf = _vals_finite_host(dtype, vals)
     core = _cubic_regular_don if _fresh_obs(obs) else _cubic_regular
-    starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
+    starts_j, steps_j = _prep(dtype, starts, steps)
     obs_j = _prep_list(dtype, obs)
     i8 = _try_i8_regular(
-        dims, starts_j, steps_j, vals_j, obs_j, "cubic",
-        bool(linearize_extrapolation),
+        dims, starts_j, steps_j, vals, obs_j, "cubic",
+        bool(linearize_extrapolation), dtype=dtype,
     )
     if i8 is not None:
         result, bad = i8
     else:
+        vf = _vals_finite_host(dtype, vals)
+        (vals_j,) = _prep(dtype, vals)
         result, bad = core(
             dims, starts_j, steps_j, vals_j, obs_j,
             bool(linearize_extrapolation), vf,
@@ -569,16 +587,17 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
         grids, vals, bool(linearize_extrapolation), obs, out
     ):
         return out
-    vf = _vals_finite_host(dtype, vals)
     core = _cubic_rectilinear_don if _fresh_obs(obs) else _cubic_rectilinear
     grids_j = _prep_list(dtype, grids)
-    (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
     i8 = _try_i8_rectilinear(
-        grids_j, vals_j, obs_j, "cubic", bool(linearize_extrapolation)
+        grids_j, vals, obs_j, "cubic", bool(linearize_extrapolation),
+        dtype=dtype,
     )
     if i8 is not None:
         return _finish(i8, out)
+    vf = _vals_finite_host(dtype, vals)
+    (vals_j,) = _prep(dtype, vals)
     result = core(
         grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
     )

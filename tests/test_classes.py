@@ -341,3 +341,45 @@ def test_models_pickle_after_eval():
     for clone in (pickle.loads(pickle.dumps(m)), copy.deepcopy(m)):
         np.testing.assert_allclose(clone.eval(obs), expect)
         assert clone.model_dump_json() == m.model_dump_json()
+
+
+def test_f32_model_accepts_list_observations():
+    """eval() on a float32 model with plain-list observations: the
+    internally-allocated out array must be model-dtype (zeros_like on a
+    list produced float64 and tripped the strict out-dtype parity check
+    for an array the user never passed)."""
+    m = it.MultilinearRegular.new(
+        [5, 5], np.zeros(2, np.float32), np.full(2, 0.25, np.float32),
+        np.arange(25.0, dtype=np.float32),
+    )
+    out = m.eval([[0.5, 0.6], [0.5, 0.6]])
+    assert out.dtype == np.float32
+    assert out.shape == (2,)
+    assert np.all(np.isfinite(out))
+    out_u = m.eval_unchecked([[0.5, 0.6], [0.5, 0.6]])
+    assert out_u.dtype == np.float32
+    # explicit arrays of the WRONG width still raise (reference parity)
+    with pytest.raises(TypeError):
+        m.eval([np.full(2, 0.5), np.full(2, 0.5)])  # float64 obs
+
+
+def test_native_disabled_is_not_memoized_as_unavailable(monkeypatch):
+    """INTERPN_TPU_NATIVE=0 must not bake 'native unavailable' into a
+    model: the build is skipped while disabled (no g++ spawn for a
+    backend that dispatch will never consult), and flipping the env back
+    on retries the preparation."""
+    from interpn_tpu import native
+
+    m = it.MultilinearRegular.new(
+        [5, 5], np.zeros(2), np.full(2, 0.25), np.arange(25.0)
+    )
+    obs = [np.array([0.6]), np.array([0.7])]
+    monkeypatch.setattr(native, "load_deferred", lambda: True)
+    monkeypatch.setattr(
+        type(m), "_prepare_native", lambda self: None, raising=True
+    )
+    expect = m.eval(obs)  # device path; prep declined but deferred
+    assert m._native is None  # NOT memoized to False
+    monkeypatch.undo()
+    np.testing.assert_allclose(m.eval(obs), expect)  # retries for real
+    assert m._native is not None

@@ -266,3 +266,115 @@ def test_i8_under_closure_jit_no_tracer_leak(monkeypatch):
     )
     for o in outs:
         assert np.all(np.isfinite(np.asarray(o)))
+
+
+@pytest.mark.parametrize("dims,lin", [
+    ((20, 20, 20), False),
+    ((20, 20, 20, 20), True),
+])
+def test_i8_deep_extrapolation_parity(dims, lin):
+    """Deep multi-axis extrapolation THROUGH the admitted regime: every
+    query 0.5-3 cells outside on every axis. Measured <= 7e-14 on all
+    admitted (>= 4096-cell) shapes — the fuzz-observed 1.4e-8
+    amplification is specific to tiny grids the _MIN_CELLS gate excludes,
+    so the public eager routing is safe under extrapolation."""
+    rng = np.random.default_rng(17)
+    nd = len(dims)
+    starts, steps = jnp.zeros(nd), jnp.ones(nd)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    n = 300
+    obs = tuple(
+        jnp.asarray(np.concatenate([
+            rng.uniform(-3.0, -0.5, n // 2),
+            rng.uniform(dims[k] - 0.5, dims[k] + 2.0, n - n // 2),
+        ]))
+        for k in range(nd)
+    )
+    a = np.asarray(i8.eval_regular(dims, starts, steps, vals, obs, "cubic", lin))
+    b = np.asarray(ops.cubic.cubic_regular(dims, starts, steps, vals, obs, lin))
+    scale = max(float(np.max(np.abs(b))), 1.0)
+    assert np.max(np.abs(a - b)) / scale < 5e-13
+
+
+def test_i8_row_offset_table_k_not_multiple_of_128():
+    """Per-row offsets on a shape whose contraction extent needs padding
+    (20^3: k=400 -> 512): the decomposition must compute row midrange and
+    scale over the TRUE row, not the zero-padded one — padding first
+    inflates the fixed-point step from the row's local variation (~1e-2)
+    to its offset (~1e6)."""
+    rng = np.random.default_rng(21)
+    dims = (20, 20, 20)
+    g, lead, k = i8._shape(dims)
+    assert k % 128 != 0  # the configuration under test
+    # per-LEAD-row offsets spanning 1e6 plus tiny local variation
+    v = (
+        1.0e6 * np.linspace(-1.0, 1.0, lead)[:, None]
+        + 0.01 * rng.standard_normal((lead, k))
+    ).reshape(-1)
+    vals = jnp.asarray(v)
+    starts, steps = jnp.zeros(3), jnp.ones(3)
+    obs = tuple(jnp.asarray(rng.uniform(0, 19, 300)) for _ in range(3))
+    a = np.asarray(i8.eval_regular(dims, starts, steps, vals, obs, "cubic"))
+    b = np.asarray(ops.cubic.cubic_regular(dims, starts, steps, vals, obs, True))
+    d = np.asarray(df.eval_regular(dims, starts, steps, vals, obs, "cubic"))
+    err_i8 = np.max(np.abs(a - b))
+    err_df = np.max(np.abs(d - b))
+    # anchor against the df64 engine: both carry the f64 weight-sum chain
+    # on a ~1e6 table; pre-fix the i8 error here was ~2^-47 * 5e5 ~ 4e-9
+    assert err_i8 < 4 * err_df + 1e-9
+
+
+def test_i8_span_overflow_gate():
+    """Finite f64 tables whose value SPAN overflows the float32 row
+    centers/scales are refused (the gather tree serves them); a huge
+    ABSOLUTE magnitude with a modest span is fine — the global-center
+    extraction bounds |v - c0| by span/2."""
+    rng = np.random.default_rng(5)
+    wide = rng.standard_normal(8000) * 1e39  # span ~1e39 > 2^120
+    assert not i8.supported((20, 20, 20), "cubic", jnp.asarray(wide))
+    offset = 1e39 + rng.standard_normal(8000)  # span ~1, magnitude 1e39
+    assert i8.supported((20, 20, 20), "cubic", jnp.asarray(offset))
+
+
+def test_i8_forced_tracer_still_declines(monkeypatch):
+    """INTERPN_TPU_F64=i8 must not override the concrete-table
+    requirement: prepare() would np.asarray() the tracer and crash
+    mid-trace."""
+    import jax
+
+    monkeypatch.setenv("INTERPN_TPU_F64", "i8")
+    seen = []
+    jax.make_jaxpr(
+        lambda v: seen.append(i8.supported((20, 20, 20), "cubic", v)) or v
+    )(jnp.zeros(8000))
+    assert seen == [False]
+
+
+def test_i8_forced_small_grid_dispatches(monkeypatch):
+    """INTERPN_TPU_F64=i8 reaches the engine below the 4096-cell VPU
+    preference (supported() deliberately skips _MIN_CELLS when forced;
+    the _prefer_i8 pre-gate must not silently undo that)."""
+    from interpn_tpu.ops import dispatch
+
+    monkeypatch.setenv("INTERPN_TPU_F64", "i8")
+    assert dispatch._prefer_i8((10, 10, 10), "cubic")
+    assert i8.supported((10, 10, 10), "cubic", jnp.zeros(1000))
+
+
+def test_i8_prep_cache_content_keyed_for_numpy():
+    """Host numpy tables key the prep/stat caches by CONTENT: repeated
+    raw-style calls with equal-content (but distinct) arrays hit the
+    cache, and in-place mutation is honored (fresh decomposition)."""
+    rng = np.random.default_rng(6)
+    v1 = rng.standard_normal(8000)
+    dims = (20, 20, 20)
+    p1 = i8.prepare(dims, v1)
+    p2 = i8.prepare(dims, v1.copy())  # same content, different object
+    assert p1 is p2
+    v3 = v1.copy()
+    v3[123] += 1.0
+    p3 = i8.prepare(dims, v3)
+    assert p3 is not p1
+    assert not np.array_equal(
+        np.asarray(p1[0]), np.asarray(p3[0])
+    )  # pieces reflect the mutation
