@@ -141,8 +141,6 @@ def _contract(weight_mats, vals, dims):
     which silently costs ~3 decimal digits (measured 0.1-0.2 absolute error
     on unit-scale grids — far outside f32 tolerance). HIGHEST runs the
     full-f32 multi-pass algorithm; ~1.5x slower and correct."""
-    import jax
-
     dtype = vals.dtype
     n = weight_mats[0].shape[0]
     hp = jax.lax.Precision.HIGHEST

@@ -108,6 +108,13 @@ def supported(dims, method: str) -> bool:
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
+    if dims[-1] > 1024:
+        # the last-axis contraction is a static unroll of rank-1
+        # double-float updates in BOTH kernels, so a long last axis
+        # recreates the Mosaic compile blowup _MAX_UNROLL_LEAD exists to
+        # prevent (e.g. (4, 4, 8192) passes every volume cap). Validated
+        # shapes top out at dims[-1] = 100; gather serves the rest.
+        return False
     if math.prod(dims[:-1]) > _MAX_UNROLL_LEAD:
         # looped kernel: bound the trip count (see _MAX_SLABS)
         if _choose_suffix(dims)[2] > _MAX_SLABS:
@@ -353,6 +360,39 @@ def _split_f64(a64):
     return hi, lo
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _split_jit(vals, lead: int, dlast: int):
+    return _split_f64(vals.reshape(lead, dlast))
+
+
+# cached per-table hi/lo split: the table never changes for persistent
+# callers, and eager re-splitting cost ~4 device dispatches per eval
+# (same pattern as pallas_i8's prep cache — content hash for host numpy,
+# identity for device arrays, nothing cached under an active trace)
+_SPLIT_CACHE: dict = {}
+_SPLIT_ORDER: list = []
+_SPLIT_MAX = 16
+
+
+def _table_split(vals, lead: int, dlast: int):
+    if isinstance(vals, jax.core.Tracer):
+        return _split_f64(vals.reshape(lead, dlast))
+    from .pallas_i8 import _cache_key, _trace_clean
+
+    if not _trace_clean():
+        return _split_f64(vals.reshape(lead, dlast))
+    key, guard = _cache_key(vals, (lead, dlast))
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None and (guard is None or hit[0] is guard):
+        return hit[1]
+    pair = _split_jit(vals, lead, dlast)
+    _SPLIT_CACHE[key] = (vals, pair)
+    _SPLIT_ORDER.append(key)
+    while len(_SPLIT_ORDER) > _SPLIT_MAX:
+        _SPLIT_CACHE.pop(_SPLIT_ORDER.pop(0), None)
+    return pair
+
+
 def _tq_for(dims) -> int:
     """Query-tile width: sized from the largest per-iteration plane the
     kernel actually holds (the full lead for the flat kernel, one slab for
@@ -498,7 +538,7 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
         steps if steps is not None else jnp.ones(ndims),
         tuple(grids) if grids is not None else (), obs,
     )
-    vh, vl = _split_f64(vals.reshape(lead, dims[-1]))
+    vh, vl = _table_split(vals, lead, dims[-1])
     oh, ol = _pallas_df64(tuple(dims), footprint, locs, wh, wl, vh, vl)
     return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
 

@@ -157,6 +157,11 @@ def _cubic_axis_weights(x, start, step, dim, linearize: bool):
         # ops/cubic._axis_reduce_regular): at tt == 0/1 the weight vector is
         # the unit basis of the corresponding stencil entry, so grid nodes
         # reproduce bit-for-bit regardless of rounding in the slope terms.
+        # This is a DELIBERATE fork of the ops/cubic node math (the kernel
+        # wants weight planes, not reduced values; deriving them via
+        # basis-vector evaluation like ops/factorized costs 4x the node
+        # evaluations per tile) — any drift between the copies trips the
+        # cross-engine bit-exact node tests (tests/test_pallas_v3.py).
         w0_node = y0  # tt == 0: y0 = v1 (none/low) or v2 (high)
         w1_node = jnp.where(low, v0, jnp.where(high, v3, v2))  # tt == 1
         w = jnp.where(tt == 0.0, w0_node, jnp.where(tt == 1.0, w1_node, w))
@@ -170,6 +175,13 @@ def supported(dims, dtype, method: str) -> bool:
     if len(dims) < 2 or len(dims) > 8:
         return False
     if math.prod(dims) * 4 > _MAX_VALS_BYTES:
+        return False
+    if sum(dims) > 8192:
+        # the kernel materializes dense (dim_k, tq) weight + iota planes
+        # per axis in VMEM; a skewed grid that passes the table-bytes
+        # check (e.g. (2, 393216): 3 MB table, ~400 MB of planes at the
+        # _MIN_TQ floor) would fail to COMPILE instead of falling back.
+        # Realistic grids sum to a few hundred; gather serves the rest.
         return False
     # the MXU stage needs a real lane axis on the table
     return dims[-1] >= 2

@@ -90,6 +90,10 @@ def test_df64_supported_policy():
     assert not df.supported((20, 20, 20), "nearest")  # gather is exact + fast
     assert not df.supported((20,), "linear")
     assert not df.supported((100, 100, 100), "cubic")  # VPU cost ~ prod(dims)
+    # long LAST axis under the volume caps: the last-axis contraction is a
+    # static unroll in both kernels (Mosaic compile blowup) — refused
+    assert not df.supported((4, 4, 8192), "cubic")
+    assert not df.supported((2, 2048), "linear")
 
 
 # ---------------------------------------------------------------------------
@@ -162,3 +166,36 @@ def test_df64_supported_policy_looped():
     assert not df.supported((3000, 5), "cubic")
     # 4D linear: max_grid crossover keeps 20^4 on the gather path
     assert not df.supported((20, 20, 20, 20), "linear")
+
+
+def test_df64_table_split_cached():
+    """The hi/lo table split caches per table (content hash for host
+    numpy, identity for device arrays) and is never cached under an
+    active trace — re-splitting an unchanged table cost ~4 eager device
+    dispatches per eval."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(400)
+    a = df._table_split(v, 20, 20)
+    b = df._table_split(v.copy(), 20, 20)  # same content, different object
+    assert a[0] is b[0] and a[1] is b[1]
+    v2 = v.copy()
+    v2[7] += 1.0
+    c = df._table_split(v2, 20, 20)
+    assert c[0] is not a[0]
+    np.testing.assert_allclose(
+        np.asarray(c[0]).astype(np.float64) + np.asarray(c[1]),
+        v2.reshape(20, 20),
+    )
+    # device arrays key by identity
+    vj = jnp.asarray(v)
+    d1 = df._table_split(vj, 20, 20)
+    d2 = df._table_split(vj, 20, 20)
+    assert d1[0] is d2[0]
+    # under a trace: no caching, result is a tracer pair that lowers fine
+    def f(t):
+        h, lo = df._table_split(t, 20, 20)
+        return h.astype(jnp.float64) + lo.astype(jnp.float64)
+    out = jax.jit(f)(vj)
+    np.testing.assert_allclose(np.asarray(out), v.reshape(20, 20))

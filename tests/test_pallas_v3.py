@@ -109,6 +109,12 @@ def test_v3_supported_policy():
     assert not v3.supported((20, 20, 20), jnp.float64, "linear")
     assert not v3.supported((20,), jnp.float32, "linear")  # 1D: XLA path
     assert not v3.supported((2048, 2048), jnp.float32, "linear")  # VMEM blowout
+    # skewed grids under the table-bytes cap: the per-axis dense weight
+    # planes, not the table, are what blows VMEM (compile failure, not a
+    # fallback) — refused on sum(dims)
+    assert not v3.supported((2, 393216), jnp.float32, "linear")
+    assert not v3.supported((2, 16384), jnp.float32, "nearest")
+    assert v3.supported((100, 100, 100), jnp.float32, "cubic")
 
 
 def _rect_case(dims, seed=0):
