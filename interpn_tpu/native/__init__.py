@@ -500,6 +500,11 @@ def check_bounds_regular(dims, starts, steps, obs, atol, out, dtype) -> bool:
     st, sp = _c(starts, dtype), _c(steps, dtype)
     arrs, ptrs = _obs_ptrs(obs, dtype)
     n = arrs[0].size
+    if any(a.size != n for a in arrs):
+        # ragged obs are legal for check_bounds (the reference scans each
+        # dimension over ITS OWN length); this kernel takes one n, which
+        # would mis-scan — and read past shorter buffers. JAX path serves.
+        return False
     flags = np.zeros(ndims, dtype=np.uint8)
     rc = fn(
         _VOIDP(d64.ctypes.data), ctypes.c_int(ndims), _VOIDP(st.ctypes.data),
@@ -528,6 +533,8 @@ def check_bounds_rectilinear(grids, obs, atol, out, dtype) -> bool:
     d64 = np.asarray([g.size for g in gs], dtype=np.int64)
     arrs, ptrs = _obs_ptrs(obs, dtype)
     n = arrs[0].size
+    if any(a.size != n for a in arrs):
+        return False  # ragged obs: see check_bounds_regular
     flags = np.zeros(ndims, dtype=np.uint8)
     rc = fn(
         gptrs, _VOIDP(d64.ctypes.data), ctypes.c_int(ndims), ptrs,

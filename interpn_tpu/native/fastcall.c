@@ -223,6 +223,13 @@ static PyObject *prepare(PyObject *self, PyObject *args) {
     }
     pc->dims[i] = PyLong_AsLongLong(d);
     Py_DECREF(d);
+    if (pc->dims[i] == -1 && PyErr_Occurred()) {
+      /* non-integer or overflow: returning with a live exception would be
+       * a SystemError at the call boundary, and -1 dims would poison
+       * later calls */
+      Py_DECREF(pc);
+      return NULL;
+    }
     pc->grid_ptrs[i] = NULL;
   }
   if (grid_addrs != Py_None) {
@@ -232,8 +239,13 @@ static PyObject *prepare(PyObject *self, PyObject *args) {
         Py_DECREF(pc);
         return NULL;
       }
-      pc->grid_ptrs[i] = (const void *)(uintptr_t)PyLong_AsUnsignedLongLong(a);
+      unsigned long long addr = PyLong_AsUnsignedLongLong(a);
       Py_DECREF(a);
+      if (addr == (unsigned long long)-1 && PyErr_Occurred()) {
+        Py_DECREF(pc);
+        return NULL;
+      }
+      pc->grid_ptrs[i] = (const void *)(uintptr_t)addr;
     }
   }
   Py_INCREF(keep);

@@ -15,9 +15,15 @@
 //    instantiation (the compile-time-specialization role of the reference's
 //    const generics, done the C++ way).
 //  * The corner stencil walk indexes vertices by bit/digit pattern, matching
-//    the vertex ordering used by the TPU kernels, and reduces dimension 0
-//    first — so native and TPU paths agree to the last ulp wherever the
-//    operation order is the same.
+//    the vertex ordering used by the TPU kernels. CUBIC reduces through the
+//    same 4^N value tree as the reference/TPU paths (operation-order
+//    agreement to the last ulp — the weight-product form measured ~2 digits
+//    worse under deep non-linearized f32 extrapolation, see dispatch_cubic).
+//    LINEAR uses a 2^N weight-product accumulation instead of the repeated
+//    lerp tree: bit-exact at grid nodes (weights are exactly {0,1} there),
+//    last-ulp interior, and divergent from the lerp tree only by
+//    association order under deep extrapolation (covered by the fuzzer's
+//    two-band tolerance).
 //  * extern "C" surface with raw pointers; bound from Python via ctypes
 //    (no pybind11 in this image).
 
@@ -318,9 +324,8 @@ struct CubicRegular {
     for (int k = N - 1; k >= 0; --k) { stride[k] = acc; acc *= dims[k]; }
     constexpr int NV = 1 << (2 * N);  // 4^N
     // digit-pattern stencil offsets are call constants; hoist them out of
-    // the per-point loop (they cost ~3 imuls per vertex per point otherwise)
-    // digit-pattern stencil offsets are call constants (4^N of them; heap
-    // for the 5-8D tail, stack for the hot 1-4D range)
+    // the per-point loop (they cost ~3 imuls per vertex per point
+    // otherwise). 4^N of them: heap for the 5-8D tail, stack for 1-4D.
     std::vector<int64_t> voff_heap;
     int64_t voff_stack[N <= 4 ? NV : 1];
     int64_t* voff = voff_stack;
@@ -516,8 +521,11 @@ int dispatch_regular(int ndims, A... a) {
   }
 }
 
-// The weight-product evaluation needs only O(N) stack per point, so cubic
-// instantiates through 8D like the linear family.
+// Cubic evaluates through the 4^N VALUE tree (reference operation order —
+// the weight-product form measured ~2 decimal digits worse under deep
+// non-linearized f32 extrapolation); the 4^N scratch lives on the heap for
+// the 5-8D tail (voff_heap/c_heap above), so it still instantiates
+// through 8D like the linear family.
 template <template <typename, int> class K, typename T, typename... A>
 int dispatch_cubic(int ndims, A... a) {
   return dispatch_regular<K, T>(ndims, a...);

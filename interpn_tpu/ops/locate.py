@@ -84,7 +84,13 @@ def locate_rectilinear_linear(x, grid):
     (possibly clamped) cell.
     """
     dim = grid.shape[0]
-    iloc = jnp.searchsorted(grid, x, side="left").astype(_I32) - 1
+    sp = jnp.searchsorted(grid, x, side="left").astype(_I32)
+    # partition_point(< NaN) counts zero elements (every comparison is
+    # false); jnp.searchsorted instead sorts NaN after the grid (returns
+    # n), which would select the OPPOSITE edge cell vs the reference and
+    # the native bisection. Pin the reference semantics.
+    sp = jnp.where(jnp.isnan(x), 0, sp)
+    iloc = sp - 1
     loc = jnp.clip(iloc, 0, max(dim - 2, 0))
     x0 = take1(grid, loc)
     x1 = take1(grid, loc + 1)
@@ -107,7 +113,9 @@ def locate_rectilinear_cubic(x, grid) -> tuple[CubicLoc, jnp.ndarray]:
     evaluation kernel from x and grid_cell); it carries x instead.
     """
     dim = grid.shape[0]
-    iloc = jnp.searchsorted(grid, x, side="left").astype(_I32) - 2
+    sp = jnp.searchsorted(grid, x, side="left").astype(_I32)
+    sp = jnp.where(jnp.isnan(x), 0, sp)  # see locate_rectilinear_linear
+    iloc = sp - 2
     loc = jnp.clip(iloc, 0, max(dim - 4, 0))
     low = iloc <= -1
     high = (~low) & (iloc >= dim - 3)

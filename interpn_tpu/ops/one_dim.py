@@ -53,12 +53,18 @@ class RegularGrid1D:
         stop = start + step * (n - 1)
         outside_low = loc < start
         outside_high = loc > stop
-        fi = jnp.floor((loc - start) / step)
+        # The reference ERRORS on non-finite locations ("Unrepresentable
+        # number", src/one_dim/mod.rs:99-115); a batched kernel cannot
+        # raise per point, so the documented deviation is NaN out (the
+        # sanitized index keeps the gather in bounds — floor(NaN) casts
+        # to an implementation-defined int32).
+        bad = ~jnp.isfinite(loc)
+        fi = jnp.floor((jnp.where(bad, start, loc) - start) / step)
         i = jnp.clip(fi, 0.0, float(n - 2)).astype(_I32)
         x0 = start + step * i.astype(vals.dtype)
         x1 = x0 + step
-        y0 = take1(vals, i)
-        y1 = take1(vals, i + 1)
+        y0 = jnp.where(bad, jnp.nan, take1(vals, i))
+        y1 = jnp.where(bad, jnp.nan, take1(vals, i + 1))
         return GridSample1D(x0, y0, x1, y1, outside_low, outside_high)
 
 
@@ -73,14 +79,20 @@ class RectilinearGrid1D:
         grid = jnp.asarray(self.grid)
         vals = jnp.asarray(self.vals)
         n = grid.shape[0]
-        i = jnp.searchsorted(grid, loc, side="left").astype(_I32) - 1
-        i = jnp.clip(i, 0, n - 2)
+        sp = jnp.searchsorted(grid, loc, side="left").astype(_I32)
+        # partition_point(< NaN) = 0 (reference + native bisection);
+        # jnp.searchsorted sorts NaN last — see ops/locate.py
+        sp = jnp.where(jnp.isnan(loc), 0, sp)
+        i = jnp.clip(sp - 1, 0, n - 2)
         outside_low = loc < grid[0]
         outside_high = loc > grid[-1]
+        # non-finite locations: NaN out (documented deviation — the
+        # reference errors; see RegularGrid1D.at)
+        bad = ~jnp.isfinite(loc)
         x0 = take1(grid, i)
         x1 = take1(grid, i + 1)
-        y0 = take1(vals, i)
-        y1 = take1(vals, i + 1)
+        y0 = jnp.where(bad, jnp.nan, take1(vals, i))
+        y1 = jnp.where(bad, jnp.nan, take1(vals, i + 1))
         return GridSample1D(x0, y0, x1, y1, outside_low, outside_high)
 
 

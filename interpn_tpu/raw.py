@@ -19,6 +19,7 @@ Semantics:
 
 from __future__ import annotations
 
+import contextlib
 import math
 import warnings
 from functools import partial
@@ -31,10 +32,16 @@ from . import native, ops
 
 # Donation is opportunistic: the one-shot shims donate every freshly-created
 # query buffer and XLA reuses (at most) one of them for the output. The
-# "not usable" advisory about the remaining ndims-1 buffers is expected.
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable"
-)
+# "not usable" advisory about the remaining ndims-1 buffers is expected —
+# but only for THESE calls: the ignore is scoped per invocation (a global
+# module-import filter would hide genuine donation failures in user code).
+@contextlib.contextmanager
+def _quiet_donation():
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
+        yield
 
 __all__ = [
     "interpn_linear_regular_f64",
@@ -127,16 +134,15 @@ def _i8_eligible(dims, method, vals_j, obs0) -> bool:
 
 
 def _i8_vals(vals, dtype):
-    """Normalize the table argument for the i8 path, or None to decline.
+    """The table argument for the i8 path, or None to decline.
 
-    `vals` may be the caller's HOST array (raw entry points pass it
-    pre-conversion: pallas_i8's caches then key on stable content/identity
+    `vals` is the caller's HOST array (raw entry points pass it
+    pre-conversion — pallas_i8's caches then key on stable content/identity
     instead of a fresh per-call device conversion, and an i8 hit skips the
-    table upload entirely) or the model classes' cached device array."""
+    table upload entirely) or the model classes' cached device array;
+    dtype-less inputs cannot reach here (_require_dtype refuses them)."""
     if dtype is not None and dtype != jnp.float64:
         return None
-    if not hasattr(vals, "dtype"):  # list input: f64 entry points only
-        vals = np.asarray(vals, dtype=np.float64)
     return vals if np.dtype(vals.dtype) == np.float64 else None
 
 
@@ -416,7 +422,8 @@ def _interpn_linear_regular(dtype, dims, starts, steps, vals, obs, out):
     else:
         vf = _vals_finite_host(dtype, vals)
         (vals_j,) = _prep(dtype, vals)
-        result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
+        with _quiet_donation():
+            result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
     _raise_unrep(bad)
     return _finish(result, out)
 
@@ -451,7 +458,9 @@ def _interpn_linear_rectilinear(dtype, grids, vals, obs, out):
         return _finish(i8, out)
     vf = _vals_finite_host(dtype, vals)
     (vals_j,) = _prep(dtype, vals)
-    return _finish(core(grids_j, vals_j, obs_j, vf), out)
+    with _quiet_donation():
+        result = core(grids_j, vals_j, obs_j, vf)
+    return _finish(result, out)
 
 
 def interpn_linear_rectilinear_f64(grids, vals, obs, out):
@@ -513,7 +522,9 @@ def _interpn_nearest_rectilinear(dtype, grids, vals, obs, out):
     grids_j = _prep_list(dtype, grids)
     (vals_j,) = _prep(dtype, vals)
     obs_j = _prep_list(dtype, obs)
-    return _finish(core(grids_j, vals_j, obs_j, vf), out)
+    with _quiet_donation():
+        result = core(grids_j, vals_j, obs_j, vf)
+    return _finish(result, out)
 
 
 def interpn_nearest_rectilinear_f64(grids, vals, obs, out):
@@ -553,10 +564,11 @@ def _interpn_cubic_regular(
     else:
         vf = _vals_finite_host(dtype, vals)
         (vals_j,) = _prep(dtype, vals)
-        result, bad = core(
-            dims, starts_j, steps_j, vals_j, obs_j,
-            bool(linearize_extrapolation), vf,
-        )
+        with _quiet_donation():
+            result, bad = core(
+                dims, starts_j, steps_j, vals_j, obs_j,
+                bool(linearize_extrapolation), vf,
+            )
     _raise_unrep(bad)
     return _finish(result, out)
 
@@ -598,9 +610,10 @@ def _interpn_cubic_rectilinear(dtype, grids, vals, linearize_extrapolation, obs,
         return _finish(i8, out)
     vf = _vals_finite_host(dtype, vals)
     (vals_j,) = _prep(dtype, vals)
-    result = core(
-        grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
-    )
+    with _quiet_donation():
+        result = core(
+            grids_j, vals_j, obs_j, bool(linearize_extrapolation), vf
+        )
     return _finish(result, out)
 
 

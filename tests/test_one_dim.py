@@ -74,3 +74,21 @@ def test_hold_1d():
             assert y_left[i] == yl and y_right[i] == yr
         expected_near = yl if (loc - x_reg[j]) <= (x_reg[j + 1] - loc) else yr
         assert y_near[i] == expected_near
+
+
+def test_one_dim_nonfinite_locations_nan():
+    """The reference ERRORS on non-finite 1D locations ("Unrepresentable
+    number", src/one_dim/mod.rs:99-115); the batched kernels cannot raise
+    per point, so the documented deviation is NaN out — never a
+    plausible-looking grid value (floor(NaN) previously cast to index 0
+    and Nearest1D returned vals[1])."""
+    vals = np.array([10.0, 20.0, 30.0])
+    locs = np.array([np.nan, np.inf, -np.inf, 1.0])
+    for grid in (
+        RegularGrid1D(0.0, 1.0, vals),
+        RectilinearGrid1D(np.array([0.0, 1.0, 2.0]), vals),
+    ):
+        for cls in (Linear1D, LinearHoldLast1D, Left1D, Right1D, Nearest1D):
+            out = np.asarray(cls(grid).eval(locs))
+            assert np.all(np.isnan(out[:3])), (cls.__name__, out)
+            assert np.isfinite(out[3])

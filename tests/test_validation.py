@@ -291,3 +291,50 @@ class TestClassDtypeStrictness:
         # lists remain accepted (documented extension; converts to f64)
         out2 = m64.eval([list(o) for o in obs])
         np.testing.assert_allclose(out2, out, rtol=1e-15)
+
+
+def test_check_bounds_ragged_obs_per_dimension():
+    """check_bounds scans each dimension over ITS OWN length (reference
+    `regular.rs:145-182`): ragged obs are legal there even though eval
+    refuses them. The native kernel takes a single n, so it must fall back
+    to the per-dimension JAX path rather than mis-scan (previously it read
+    obs[1] for only len(obs[0]) elements — wrong flags, and an
+    out-of-bounds read when obs[k] was SHORTER than obs[0])."""
+    import interpn_tpu as it
+
+    dims = [4, 4]
+    starts, steps = np.zeros(2), np.ones(2)
+    # obs[1] longer than obs[0], violation only in its tail
+    obs = [np.zeros(1), np.array([0.5, 99.0])]
+    out = np.zeros(2, dtype=bool)
+    it.raw.check_bounds_regular_f64(dims, starts, steps, obs, 1e-6, out)
+    assert list(out) == [False, True]
+    # shorter second axis: no out-of-bounds read, correct flags
+    obs = [np.array([0.5, 0.5, 99.0]), np.array([0.5])]
+    out = np.zeros(2, dtype=bool)
+    it.raw.check_bounds_regular_f64(dims, starts, steps, obs, 1e-6, out)
+    assert list(out) == [True, False]
+    grids = [np.arange(4.0), np.arange(4.0)]
+    out = np.zeros(2, dtype=bool)
+    it.raw.check_bounds_rectilinear_f64(
+        grids, [np.zeros(1), np.array([0.5, 99.0])], 1e-6, out
+    )
+    assert list(out) == [False, True]
+
+
+def test_rectilinear_nan_locates_like_reference():
+    """partition_point(< NaN) = 0 in the reference and the native
+    bisection; jnp.searchsorted sorts NaN last. Both dispatch paths must
+    pick the LOW edge cell for a NaN coordinate (previously the JAX path
+    returned the high-edge value — same entry point, different answers by
+    batch size)."""
+    import interpn_tpu as it
+
+    grids = [np.array([0.0, 1.0, 2.0, 3.0])]
+    vals = np.array([10.0, 20.0, 30.0, 40.0])
+    for n in (1, 4096):  # native fast path vs JAX path
+        obs = [np.full(n, np.nan)]
+        out = np.zeros(n)
+        it.raw.interpn_nearest_rectilinear_f64(grids, vals, obs, out)
+        # loc 0, dt = NaN -> (dt <= 0.5) false -> offset 1 -> vals[1]
+        assert out[0] == 20.0, (n, out[0])
