@@ -17,10 +17,21 @@ from dataclasses import dataclass
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 
 from ._gather import take1
 
 _I32 = jnp.int32
+
+
+def _length(x) -> int:
+    """Static leading-axis length of an array-like (works for tracers)."""
+    shape = getattr(x, "shape", None)
+    if shape is not None:
+        if len(shape) == 0:
+            return 1
+        return int(shape[0])
+    return len(x)
 
 
 @dataclass(frozen=True)
@@ -44,6 +55,13 @@ class RegularGrid1D:
     start: Any
     step: Any
     vals: Any
+
+    def __post_init__(self):
+        # The reference's RegularGrid1D::new accepts a 1-point grid but its
+        # index() then underflows `vals.len() - 2` (debug panic); refusing
+        # up front is the batched-safe version of that contract.
+        if _length(self.vals) < 2:
+            raise ValueError("Length mismatch")
 
     def at(self, loc) -> GridSample1D:
         vals = jnp.asarray(self.vals)
@@ -75,6 +93,13 @@ class RectilinearGrid1D:
     grid: Any
     vals: Any
 
+    def __post_init__(self):
+        # Reference contract: `grid.len() != vals.len() || grid.len() < 2`
+        # is "Length mismatch" at construction (src/one_dim/mod.rs:148-154).
+        ng = _length(self.grid)
+        if ng != _length(self.vals) or ng < 2:
+            raise ValueError("Length mismatch")
+
     def at(self, loc) -> GridSample1D:
         grid = jnp.asarray(self.grid)
         vals = jnp.asarray(self.vals)
@@ -97,13 +122,27 @@ class RectilinearGrid1D:
 
 
 class _Interp1D:
-    """Base: batched eval over locations (`src/one_dim/mod.rs:41-74`)."""
+    """Base: batched eval over locations (`src/one_dim/mod.rs:41-74`).
+
+    `eval(locs)` allocates (the reference's `eval_alloc`); `eval(locs, out)`
+    writes into a caller-provided host buffer and raises the reference's
+    "Length mismatch" on a size disagreement (`src/one_dim/mod.rs:51-55`).
+    """
 
     def __init__(self, grid):
         self.grid = grid
 
-    def eval(self, locs):
-        raise NotImplementedError
+    def _eval(self, locs):
+        raise NotImplementedError  # subclass evaluation hook
+
+    def eval(self, locs, out=None):
+        result = self._eval(locs)
+        if out is None:
+            return result
+        if _length(out) != _length(locs):
+            raise ValueError("Length mismatch")
+        np.copyto(out, np.asarray(result))
+        return out
 
     # Alias matching the reference's allocating variant.
     def eval_alloc(self, locs):
@@ -113,7 +152,7 @@ class _Interp1D:
 class Linear1D(_Interp1D):
     """Linear interpolation/extrapolation (`src/one_dim/linear.rs:9-38`)."""
 
-    def eval(self, locs):
+    def _eval(self, locs):
         s = self.grid.at(locs)
         slope = (s.y1 - s.y0) / (s.x1 - s.x0)
         return s.y0 + slope * (locs - s.x0)
@@ -123,7 +162,7 @@ class LinearHoldLast1D(_Interp1D):
     """Linear inside; holds edge values outside
     (`src/one_dim/linear.rs:43-86`)."""
 
-    def eval(self, locs):
+    def _eval(self, locs):
         s = self.grid.at(locs)
         slope = (s.y1 - s.y0) / (s.x1 - s.x0)
         inside = s.y0 + slope * (locs - s.x0)
@@ -133,7 +172,7 @@ class LinearHoldLast1D(_Interp1D):
 class Left1D(_Interp1D):
     """Hold-last piecewise constant (`src/one_dim/hold.rs:8-40`)."""
 
-    def eval(self, locs):
+    def _eval(self, locs):
         s = self.grid.at(locs)
         return jnp.where(s.outside_high, s.y1, s.y0)
 
@@ -141,7 +180,7 @@ class Left1D(_Interp1D):
 class Right1D(_Interp1D):
     """Hold-next piecewise constant (`src/one_dim/hold.rs:43-75`)."""
 
-    def eval(self, locs):
+    def _eval(self, locs):
         s = self.grid.at(locs)
         return jnp.where(s.outside_low, s.y0, s.y1)
 
@@ -149,7 +188,7 @@ class Right1D(_Interp1D):
 class Nearest1D(_Interp1D):
     """Nearest value; ties take the left value (`src/one_dim/hold.rs:79-108`)."""
 
-    def eval(self, locs):
+    def _eval(self, locs):
         s = self.grid.at(locs)
         dx0 = jnp.abs(locs - s.x0)
         dx1 = jnp.abs(locs - s.x1)

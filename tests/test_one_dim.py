@@ -2,6 +2,7 @@
 (`src/one_dim/linear.rs:96-180`, `src/one_dim/hold.rs:118-180`)."""
 
 import numpy as np
+import pytest
 
 from interpn_tpu.ops.one_dim import (
     Left1D,
@@ -92,3 +93,31 @@ def test_one_dim_nonfinite_locations_nan():
             out = np.asarray(cls(grid).eval(locs))
             assert np.all(np.isnan(out[:3])), (cls.__name__, out)
             assert np.isfinite(out[3])
+
+
+def test_one_dim_out_param_and_length_mismatch():
+    """`eval(locs, out)` mirrors the reference's `Interp1D::eval(locs, out)`
+    (src/one_dim/mod.rs:51-61): writes into the caller's buffer, returns it,
+    and raises "Length mismatch" on a size disagreement."""
+    vals = np.array([1.0, 2.0, 4.0])
+    interp = Linear1D(RegularGrid1D(0.0, 1.0, vals))
+    out = np.zeros(3)
+    ret = interp.eval(np.array([0.5, 1.5, 2.5]), out)
+    assert ret is out
+    np.testing.assert_allclose(out, [1.5, 3.0, 5.0])
+    with pytest.raises(ValueError, match="Length mismatch"):
+        interp.eval(np.zeros(2), np.zeros(3))
+
+
+def test_one_dim_grid_construction_length_mismatch():
+    """Rectilinear construction enforces the reference's contract
+    (grid/vals same length, >= 2 points; src/one_dim/mod.rs:148-154).
+    Regular grids also refuse < 2 points (the reference's index() would
+    underflow `len - 2` there — debug panic; refusing up front is the
+    batched-safe version)."""
+    with pytest.raises(ValueError, match="Length mismatch"):
+        RectilinearGrid1D(np.arange(3.0), np.arange(4.0))
+    with pytest.raises(ValueError, match="Length mismatch"):
+        RectilinearGrid1D(np.arange(1.0), np.arange(1.0))
+    with pytest.raises(ValueError, match="Length mismatch"):
+        RegularGrid1D(0.0, 1.0, np.array([1.0]))
