@@ -36,7 +36,7 @@ N_OBS = 1_000_000
 # relay dispatch latency (real TPU deployments dispatch in tens of us; the
 # profiler-measured kernel time for this config is 2.75 ms/eval = 382 Mq/s,
 # see docs/perf.md "kernel-time" table — R=96 reports within 5% of it).
-R = 96
+R = int(os.environ.get("INTERPN_TPU_BENCH_R", "96"))
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
 
 

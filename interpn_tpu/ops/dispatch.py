@@ -334,6 +334,12 @@ def cubic_regular(
         vals.dtype, math.prod(dims), obs[0], vf, dims, "cubic", vals_ref=vals
     )
     lin = bool(linearize_extrapolation)
+    if impl == "i8" and not _pi8.extrap_ok_regular(
+        dims, starts, steps, obs, "cubic", lin
+    ):
+        # deep non-linearized cubic extrapolation (or traced obs): the
+        # weight-quantization floor surfaces — demote to the df64 engine
+        impl = "df64" if _pdf.supported(tuple(dims), "cubic") else "gather"
     if impl == "i8":
         prep = _pi8.prepare(tuple(dims), vals)  # see linear_regular
         prim = lambda st, sp, v, *ob: _pi8.eval_regular(
@@ -369,6 +375,8 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     )
     ng = len(grids)
     lin = bool(linearize_extrapolation)
+    if impl == "i8" and not _pi8.extrap_ok_rectilinear(grids, obs, "cubic", lin):
+        impl = "df64" if _pdf.supported(dims, "cubic") else "gather"  # see cubic_regular
     if impl == "i8":
         prep = _pi8.prepare(dims, vals)  # see linear_regular
         prim = lambda *a: _pi8.eval_rectilinear(

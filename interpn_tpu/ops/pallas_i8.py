@@ -119,11 +119,19 @@ _ROW_SPIKE_RATIO = 1024.0
 # weight peak, so deep multi-axis extrapolation on tiny grids amplifies it
 # by the grouped stencil size — fuzz-measured 1.4e-8 on a 1600-cell 5D
 # rectilinear cubic at 3-cell extrapolation, where df64 holds 1e-13).
-# On ADMITTED shapes the amplification is gone: 3-6-cell all-axis
-# extrapolation on 20^3/20^4/12^5 measures <= 7e-14 both linearize modes
-# (pinned by test_i8_deep_extrapolation_parity), so eager public routing
-# needs no per-query extrapolation gate.
 _MIN_CELLS = 4096
+# NON-LINEARIZED cubic extrapolation is gated per BATCH, admitted shapes
+# included: its basis weights grow ~2t^3 per axis, and past a few cells
+# the grouped weight dynamic range plus output cancellation surfaces the
+# 2^-49-of-peak quantization floor even on >= _MIN_CELLS shapes
+# (fuzz seed 300 round 375: 4.7e-8 on a 6400-cell 6D at 3.5-6.5-cell
+# extrapolation; the earlier 20^3/20^4/12^5 validation only reached 3
+# cells). Measured envelope (benches/exp_i8_extrap.py): <= 1.5e-14
+# through 3 cells on every shape/ndims, 1e-7..1e-8 at 4+ cells on 4-6D.
+# Linear and linearized-cubic weights grow only linearly and measure
+# clean through 6 cells on 6D — they stay ungated (and keep their zero
+# per-eval overhead). Cap at 2 cells = 2x margin under the cliff.
+_EXTRAP_CELLS_CUBIC = 2.0
 
 
 def _choose_group(dims) -> int:
@@ -218,6 +226,60 @@ def supported(dims, method: str, vals=None) -> bool:
         if mode != "i8":
             return _table_ok(vals, lead, k)
     return True
+
+
+@jax.jit
+def _obs_stats_regular(starts, steps, obs):
+    """(ndims, 4) rows [min, max, start, step] — ONE device program/transfer
+    (per-axis eager reductions would cost a relay round trip each)."""
+    mm = jnp.stack([jnp.stack([jnp.min(o), jnp.max(o)]) for o in obs])
+    extra = jnp.stack([starts, steps], axis=1).astype(mm.dtype)
+    return jnp.concatenate([mm, extra], axis=1)
+
+
+@jax.jit
+def _obs_stats_rect(grids, obs):
+    """(ndims, 6) rows [min, max, g[0], g[1], g[-2], g[-1]]."""
+    mm = jnp.stack([jnp.stack([jnp.min(o), jnp.max(o)]) for o in obs])
+    edges = jnp.stack(
+        [jnp.stack([g[0], g[1], g[-2], g[-1]]) for g in grids]
+    ).astype(mm.dtype)
+    return jnp.concatenate([mm, edges], axis=1)
+
+
+def _depth_ok(e) -> bool:
+    # non-finite coordinates decline too: the reference-parity engines own
+    # NaN/inf semantics (unrepresentable flag, NaN-out)
+    return bool(np.all(np.isfinite(e)) and np.max(e) <= _EXTRAP_CELLS_CUBIC)
+
+
+def extrap_ok_regular(dims, starts, steps, obs, method, linearize) -> bool:
+    """Per-batch admission for non-linearized cubic: max extrapolation
+    depth (in cells) on every axis must stay under _EXTRAP_CELLS_CUBIC.
+    Linear / linearized-cubic batches return True with no device work."""
+    if method != "cubic" or linearize:
+        return True
+    if any(isinstance(x, jax.core.Tracer) for x in (*obs, starts, steps)):
+        return False  # traced inputs: depth unknowable; df64/gather serve
+    s = np.asarray(
+        _obs_stats_regular(jnp.asarray(starts), jnp.asarray(steps), tuple(obs))
+    )
+    mins, maxs, st, sp = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    hi = st + sp * (np.asarray(dims, dtype=s.dtype) - 1.0)
+    return _depth_ok(np.maximum((st - mins) / sp, (maxs - hi) / sp))
+
+
+def extrap_ok_rectilinear(grids, obs, method, linearize) -> bool:
+    """Rectilinear twin of extrap_ok_regular (depth in edge-cell widths)."""
+    if method != "cubic" or linearize:
+        return True
+    if any(isinstance(x, jax.core.Tracer) for x in (*obs, *grids)):
+        return False
+    s = np.asarray(
+        _obs_stats_rect(tuple(jnp.asarray(g) for g in grids), tuple(obs))
+    )
+    mins, maxs, g0, g1, gm2, gm1 = (s[:, j] for j in range(6))
+    return _depth_ok(np.maximum((g0 - mins) / (g1 - g0), (maxs - gm1) / (gm1 - gm2)))
 
 
 # table-statistics cache (the spike gate medians cost ~ms per call on the

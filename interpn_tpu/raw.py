@@ -154,6 +154,8 @@ def _try_i8_regular(dims, starts_j, steps_j, vals, obs_j, method,
         return None
     from .ops import pallas_i8 as _pi8
 
+    if not _pi8.extrap_ok_regular(dims, starts_j, steps_j, obs_j, method, linearize):
+        return None  # deep non-linearized cubic extrapolation: df64/gather
     out = _pi8.eval_regular(
         tuple(dims), starts_j, steps_j, vals, obs_j, method, linearize
     )
@@ -170,6 +172,8 @@ def _try_i8_rectilinear(grids_j, vals, obs_j, method, linearize=True,
         return None
     from .ops import pallas_i8 as _pi8
 
+    if not _pi8.extrap_ok_rectilinear(grids_j, obs_j, method, linearize):
+        return None  # see _try_i8_regular
     return _pi8.eval_rectilinear(grids_j, vals, obs_j, method, linearize)
 
 

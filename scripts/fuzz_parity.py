@@ -142,7 +142,13 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
             engines["pallas_df64"] = np.asarray(
                 pdf.eval_regular(dims_t, sj, stj, vj, oj, method, linearize)
             )
-        if dtype == np.float64 and pi8.supported(dims_t, method, vj):
+        if (
+            dtype == np.float64
+            and pi8.supported(dims_t, method, vj)
+            # production routing declines deep non-linearized cubic
+            # extrapolation (weight-quantization floor; seed 300 round 375)
+            and pi8.extrap_ok_regular(dims_t, sj, stj, oj, method, linearize)
+        ):
             engines["pallas_i8"] = np.asarray(
                 pi8.eval_regular(dims_t, sj, stj, vj, oj, method, linearize)
             )
@@ -169,7 +175,11 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
             engines["pallas_df64"] = np.asarray(
                 pdf.eval_rectilinear(gj, vj, oj, method, linearize)
             )
-        if dtype == np.float64 and pi8.supported(dims_t, method, vj):
+        if (
+            dtype == np.float64
+            and pi8.supported(dims_t, method, vj)
+            and pi8.extrap_ok_rectilinear(gj, oj, method, linearize)
+        ):
             engines["pallas_i8"] = np.asarray(
                 pi8.eval_rectilinear(gj, vj, oj, method, linearize)
             )
@@ -188,10 +198,12 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
             [orc([o[i] for o in obs_c]) for i in range(n)]
         )
 
-    # Every engine (incl. pallas_i8 since its _MIN_CELLS gate landed: all
-    # fuzz configs it accepts are admitted shapes, where deep-extrapolation
-    # error measures <= 7e-14 — test_i8_deep_extrapolation_parity) takes
-    # the same two-band tolerance: strict within one cell, /100 beyond.
+    # Every engine takes the same two-band tolerance: strict within one
+    # cell, /100 beyond. pallas_i8 runs only where production routing
+    # admits it (extrap_ok_* above): seed 300 round 375 proved admitted
+    # SHAPES still break past ~4 cells of non-linearized cubic
+    # extrapolation (4.7e-8 on a 6400-cell 6D), so the per-batch depth
+    # gate is part of the engine's contract, not a fuzz-only carve-out.
     mild = np.ones(n, bool)
     for k in range(ndims):
         if regular:

@@ -1,0 +1,206 @@
+"""Randomized PUBLIC-SURFACE parity fuzzer.
+
+Where scripts/fuzz_parity.py crosses the compute ENGINES against each
+other, this crosses the user-facing layers: for random configurations it
+asserts that
+
+  * `interpn()` (autodetect + dispatch),
+  * the matching `raw.interpn_*` flat function (with a preallocated out),
+  * the matching pydantic model class (`.eval` and `.eval_unchecked`),
+  * the class rebuilt from `model_dump_json()` (byte-identical wire), and
+  * the loop-based numpy oracle (tests/oracle.py)
+
+all agree at dtype-appropriate tolerance, and that `check_bounds`
+classifies every observation dimension exactly like a numpy recomputation
+of the reference's rule (|violation| > atol outside [lo, hi]).
+
+Run: python scripts/fuzz_surface.py [--rounds 100] [--seed 0]
+Exit code != 0 on the first disagreement, printing a repro config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import oracle  # tests/oracle.py
+import interpn_tpu as it
+
+CLASSES = {
+    ("linear", True): it.MultilinearRegular,
+    ("linear", False): it.MultilinearRectilinear,
+    ("cubic", True): it.MulticubicRegular,
+    ("cubic", False): it.MulticubicRectilinear,
+    ("nearest", True): it.NearestRegular,
+    ("nearest", False): it.NearestRectilinear,
+}
+
+RAW = {
+    ("linear", True): "interpn_linear_regular_{}",
+    ("linear", False): "interpn_linear_rectilinear_{}",
+    ("cubic", True): "interpn_cubic_regular_{}",
+    ("cubic", False): "interpn_cubic_rectilinear_{}",
+    ("nearest", True): "interpn_nearest_regular_{}",
+    ("nearest", False): "interpn_nearest_rectilinear_{}",
+}
+
+ORACLE = {
+    ("linear", True): oracle.linear_regular,
+    ("linear", False): oracle.linear_rectilinear,
+    ("cubic", True): oracle.cubic_regular,
+    ("cubic", False): oracle.cubic_rectilinear,
+    ("nearest", True): oracle.nearest_regular,
+    ("nearest", False): oracle.nearest_rectilinear,
+}
+
+
+def _fail(idx, msg, **cfg):
+    print(f"ROUND {idx} SURFACE MISMATCH: {msg}")
+    print("  config:", {k: v for k, v in cfg.items()})
+    sys.exit(1)
+
+
+def run_round(rng: np.random.Generator, idx: int) -> None:
+    method = rng.choice(["linear", "cubic", "nearest"])
+    max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
+    ndims = int(rng.integers(1, max_nd + 1))
+    regular = bool(rng.integers(0, 2))
+    dtype = np.float64 if rng.integers(0, 2) else np.float32
+    linearize = bool(rng.integers(0, 2))
+    min_pts = 4 if method == "cubic" else 2
+    dims = [int(rng.integers(min_pts, min_pts + 3)) for _ in range(ndims)]
+
+    starts = rng.uniform(-2, 2, ndims).astype(dtype)
+    steps = rng.uniform(0.3, 1.5, ndims).astype(dtype)
+    grids = [
+        (np.cumsum(0.2 + rng.random(d)) + rng.uniform(-3, 0)).astype(dtype)
+        for d in dims
+    ]
+    vals = rng.standard_normal(int(np.prod(dims))).astype(dtype)
+    n = int(rng.integers(1, 200))
+    if regular:
+        grids = [
+            (starts[k] + steps[k] * np.arange(dims[k])).astype(dtype)
+            for k in range(ndims)
+        ]
+    # span one cell of extrapolation on each side (mild region: every
+    # layer must agree tightly there; deep-extrapolation divergence is
+    # the engine fuzzer's domain)
+    obs = [
+        rng.uniform(g[0] - (g[1] - g[0]), g[-1] + (g[-1] - g[-2]), n).astype(dtype)
+        for g in grids
+    ]
+    tol = 5e-12 if dtype == np.float64 else 2e-4
+
+    cfg = dict(method=str(method), regular=regular, dtype=dtype.__name__,
+               ndims=ndims, dims=dims, linearize=linearize, n=n)
+
+    # layer 1: interpn()
+    top = np.asarray(
+        it.interpn(obs, grids=grids, vals=vals.reshape(dims), method=str(method),
+                   linearize_extrapolation=linearize)
+    )
+
+    # layer 2: raw with preallocated out
+    suffix = "f64" if dtype == np.float64 else "f32"
+    fn = getattr(it.raw, RAW[(str(method), regular)].format(suffix))
+    out = np.zeros(n, dtype)
+    if method == "cubic":
+        if regular:
+            fn(dims, starts, steps, vals, linearize, obs, out)
+        else:
+            fn(grids, vals, linearize, obs, out)
+    else:
+        if regular:
+            fn(dims, starts, steps, vals, obs, out)
+        else:
+            fn(grids, vals, obs, out)
+
+    # layer 3: model class (+ JSON round-trip rebuild)
+    cls = CLASSES[(str(method), regular)]
+    if method == "cubic":
+        if regular:
+            m = cls.new(dims, starts, steps, vals, linearize_extrapolation=linearize)
+        else:
+            m = cls.new(grids, vals, linearize_extrapolation=linearize)
+    else:
+        m = cls.new(dims, starts, steps, vals) if regular else cls.new(grids, vals)
+    mv = np.asarray(m.eval(obs))
+    wire = m.model_dump_json()
+    m2 = cls.model_validate_json(wire)
+    if m2.model_dump_json() != wire:
+        _fail(idx, "JSON wire not byte-stable across a round-trip", **cfg)
+    mv2 = np.asarray(m2.eval_unchecked(obs))
+
+    # layer 4: oracle (f64 only — the oracle computes in f64)
+    layers = {"interpn": top, "raw": out, "class": mv, "class-rt": mv2}
+    if dtype == np.float64:
+        orc = ORACLE[(str(method), regular)]
+        pts = lambda i: [o[i] for o in obs]
+        if method == "cubic":
+            args = (dims, starts, steps, vals) if regular else (grids, vals)
+            layers["oracle"] = np.array(
+                [orc(*args, pts(i), linearize) for i in range(n)]
+            )
+        else:
+            args = (dims, starts, steps, vals) if regular else (grids, vals)
+            layers["oracle"] = np.array([orc(*args, pts(i)) for i in range(n)])
+
+    ref_name, ref = next(iter(layers.items()))
+    scale = max(1.0, float(np.max(np.abs(ref))))
+    for nm, arr in layers.items():
+        d = float(np.max(np.abs(arr - ref))) / scale
+        if not (d < tol):
+            _fail(idx, f"{ref_name} vs {nm}: rel {d:.3e}", **cfg)
+
+    # check_bounds vs a same-dtype numpy recomputation of the reference
+    # rule: violation iff (x - lo) <= -atol or (x - hi) >= atol
+    # (regular.rs:158-171; ops/bounds.py)
+    atol = dtype(rng.uniform(0, 0.5))
+    flags = np.zeros(ndims, dtype=bool)
+    if regular:
+        cb = getattr(it.raw, f"check_bounds_regular_{suffix}")
+        cb(dims, starts, steps, obs, atol, flags)
+        first = starts
+        # same op order as ops/bounds.py: starts + steps * (dims - 1)
+        last = starts + steps * np.asarray([d - 1 for d in dims], dtype)
+        lo, hi = np.minimum(first, last), np.maximum(first, last)
+    else:
+        cb = getattr(it.raw, f"check_bounds_rectilinear_{suffix}")
+        cb(grids, obs, atol, flags)
+        lo = np.array([g[0] for g in grids], dtype)
+        hi = np.array([g[-1] for g in grids], dtype)
+    for k in range(ndims):
+        o = obs[k]
+        expect = bool(np.any(((o - lo[k]) <= -atol) | ((o - hi[k]) >= atol)))
+        if bool(flags[k]) != expect:
+            _fail(idx, f"check_bounds axis {k}: got {flags[k]} want {expect}",
+                  atol=float(atol), **cfg)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.rounds):
+        run_round(rng, i)
+        if (i + 1) % 10 == 0:
+            print(f"{i+1}/{args.rounds} rounds clean")
+    print("ALL CLEAN")
+
+
+if __name__ == "__main__":
+    main()

@@ -273,11 +273,12 @@ def test_i8_under_closure_jit_no_tracer_leak(monkeypatch):
     ((20, 20, 20, 20), True),
 ])
 def test_i8_deep_extrapolation_parity(dims, lin):
-    """Deep multi-axis extrapolation THROUGH the admitted regime: every
-    query 0.5-3 cells outside on every axis. Measured <= 7e-14 on all
-    admitted (>= 4096-cell) shapes — the fuzz-observed 1.4e-8
-    amplification is specific to tiny grids the _MIN_CELLS gate excludes,
-    so the public eager routing is safe under extrapolation."""
+    """Deep multi-axis extrapolation through the ENGINE at 0.5-3 cells:
+    measured <= 7e-14 on all admitted shapes. Past ~4 cells the
+    non-linearized weight-quantization floor surfaces even on admitted
+    shapes (fuzz seed 300 round 375: 4.7e-8 on a 6400-cell 6D), which is
+    why production routing also applies the per-batch depth gate
+    (extrap_ok_*, capped at 2 cells — see test_i8_extrapolation_gate)."""
     rng = np.random.default_rng(17)
     nd = len(dims)
     starts, steps = jnp.zeros(nd), jnp.ones(nd)
@@ -378,3 +379,87 @@ def test_i8_prep_cache_content_keyed_for_numpy():
     assert not np.array_equal(
         np.asarray(p1[0]), np.asarray(p3[0])
     )  # pieces reflect the mutation
+
+
+class TestExtrapolationGate:
+    """Per-batch depth admission for non-linearized cubic
+    (pallas_i8.extrap_ok_*): fuzz seed 300 round 375 measured 4.7e-8 on an
+    admitted 6400-cell 6D shape at 3.5-6.5-cell extrapolation, so routing
+    declines past _EXTRAP_CELLS_CUBIC cells (calibration:
+    benches/exp_i8_extrap.py)."""
+
+    dims = (4, 5, 4, 4, 5, 4)
+
+    def _obs(self, depth, n=64, seed=3):
+        rng = np.random.default_rng(seed)
+        return tuple(
+            jnp.asarray(rng.uniform(-depth, d - 1 + depth, n))
+            for d in self.dims
+        )
+
+    def test_regular_gate_depth(self):
+        nd = len(self.dims)
+        st, sp = jnp.zeros(nd), jnp.ones(nd)
+        shallow, deep = self._obs(1.5), self._obs(4.0)
+        assert i8.extrap_ok_regular(self.dims, st, sp, shallow, "cubic", False)
+        assert not i8.extrap_ok_regular(self.dims, st, sp, deep, "cubic", False)
+        # linear and linearized cubic are ungated (measured clean to 6 cells)
+        assert i8.extrap_ok_regular(self.dims, st, sp, deep, "cubic", True)
+        assert i8.extrap_ok_regular(self.dims, st, sp, deep, "linear", True)
+        # NaN coordinates decline (reference-parity engines own NaN flow)
+        bad = (jnp.full(64, jnp.nan),) + shallow[1:]
+        assert not i8.extrap_ok_regular(self.dims, st, sp, bad, "cubic", False)
+
+    def test_rectilinear_gate_depth(self):
+        grids = tuple(jnp.arange(float(d)) for d in self.dims)
+        assert i8.extrap_ok_rectilinear(grids, self._obs(1.5), "cubic", False)
+        assert not i8.extrap_ok_rectilinear(grids, self._obs(4.0), "cubic", False)
+
+    def test_traced_obs_decline(self):
+        import jax
+
+        nd = len(self.dims)
+        st, sp = jnp.zeros(nd), jnp.ones(nd)
+
+        got = []
+
+        def probe(*obs):
+            got.append(i8.extrap_ok_regular(self.dims, st, sp, obs, "cubic", False))
+            return obs[0]
+
+        jax.jit(probe)(*self._obs(0.5))
+        assert got == [False]
+
+    def test_fuzz_round_375_regression(self):
+        """The exact fuzz-found config through the public raw surface must
+        agree with the oracle at f64 parity (the gate reroutes it off i8)."""
+        import sys as _sys
+        from pathlib import Path as _P
+
+        _sys.path.insert(0, str(_P(__file__).parent))
+        import oracle
+
+        import interpn_tpu as it
+
+        rng = np.random.default_rng(300)
+        dims = list(self.dims)
+        nd = len(dims)
+        starts = rng.uniform(-3, 3, nd)
+        steps = rng.uniform(0.2, 2.0, nd)
+        vals = rng.standard_normal(int(np.prod(dims)))
+        n = 128
+        obs = [
+            rng.uniform(starts[k] - 3, starts[k] + steps[k] * (dims[k] + 3), n)
+            for k in range(nd)
+        ]
+        out = np.zeros(n)
+        it.raw.interpn_cubic_regular_f64(
+            dims, starts, steps, vals, False, obs, out
+        )
+        orc = np.array([
+            oracle.cubic_regular(dims, starts, steps, vals,
+                                 [o[i] for o in obs], False)
+            for i in range(n)
+        ])
+        scale = max(1.0, np.abs(orc).max())
+        assert np.abs(out - orc).max() / scale < 1e-12
