@@ -36,6 +36,10 @@ N_OBS = 1_000_000
 # relay dispatch latency (real TPU deployments dispatch in tens of us; the
 # profiler-measured kernel time for this config is 2.75 ms/eval = 382 Mq/s,
 # see docs/perf.md "kernel-time" table — R=96 reports within 5% of it).
+# R=192 was tried (round 3): the 2x obs stacks (3 x 2.3 GB of tunnel
+# transfers) wedged the relay before the first timed scan — probe timeout,
+# then a 420 s watchdog kill. The residual ~20% headline-vs-kernel gap is
+# relay dispatch this environment can't amortize further; keep 96.
 R = int(os.environ.get("INTERPN_TPU_BENCH_R", "96"))
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
 
