@@ -71,7 +71,64 @@ def _fail(idx, msg, **cfg):
     sys.exit(1)
 
 
+def _one_dim_round(rng: np.random.Generator, idx: int) -> None:
+    """1D fast-path family vs a direct numpy recomputation of the
+    reference's per-point semantics (src/one_dim/linear.rs, hold.rs)."""
+    from interpn_tpu.ops.one_dim import (
+        Left1D, Linear1D, LinearHoldLast1D, Nearest1D, RectilinearGrid1D,
+        RegularGrid1D, Right1D,
+    )
+
+    n_grid = int(rng.integers(2, 12))
+    regular = bool(rng.integers(0, 2))
+    vals = rng.standard_normal(n_grid)
+    if regular:
+        start, step = float(rng.uniform(-2, 2)), float(rng.uniform(0.2, 1.5))
+        grid = start + step * np.arange(n_grid)
+        g = RegularGrid1D(start, step, vals)
+    else:
+        grid = np.cumsum(0.2 + rng.random(n_grid)) + rng.uniform(-3, 0)
+        g = RectilinearGrid1D(grid, vals)
+    n = int(rng.integers(1, 64))
+    span = grid[-1] - grid[0]
+    locs = rng.uniform(grid[0] - 0.5 * span, grid[-1] + 0.5 * span, n)
+
+    # reference per-point semantics in plain numpy
+    def sample(x):
+        if regular:
+            i = int(np.clip(np.floor((x - start) / step), 0, n_grid - 2))
+            x0 = start + step * i
+            x1 = x0 + step
+        else:
+            i = int(np.clip(np.searchsorted(grid, x, side="left") - 1, 0,
+                            n_grid - 2))
+            x0, x1 = grid[i], grid[i + 1]
+        return x0, vals[i], x1, vals[i + 1], x < grid[0], x > grid[-1]
+
+    expect = {k: np.empty(n) for k in ("lin", "hold", "left", "right", "near")}
+    for j, x in enumerate(locs):
+        x0, y0, x1, y1, low, high = sample(x)
+        s = (y1 - y0) / (x1 - x0)
+        expect["lin"][j] = y0 + s * (x - x0)
+        expect["hold"][j] = y0 if low else (y1 if high else y0 + s * (x - x0))
+        expect["left"][j] = y1 if high else y0
+        expect["right"][j] = y0 if low else y1
+        expect["near"][j] = y0 if abs(x - x1) >= abs(x - x0) else y1
+
+    got = {
+        "lin": Linear1D(g), "hold": LinearHoldLast1D(g),
+        "left": Left1D(g), "right": Right1D(g), "near": Nearest1D(g),
+    }
+    for k, interp in got.items():
+        a = np.asarray(interp.eval(locs))
+        d = float(np.max(np.abs(a - expect[k])))
+        if not (d < 1e-12):
+            _fail(idx, f"one_dim {k}: abs {d:.3e}",
+                  regular=regular, n_grid=n_grid, n=n)
+
+
 def run_round(rng: np.random.Generator, idx: int) -> None:
+    _one_dim_round(rng, idx)
     method = rng.choice(["linear", "cubic", "nearest"])
     max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
     ndims = int(rng.integers(1, max_nd + 1))
