@@ -71,12 +71,17 @@ class RegularGrid1D:
         stop = start + step * (n - 1)
         outside_low = loc < start
         outside_high = loc > stop
-        # The reference ERRORS on non-finite locations ("Unrepresentable
-        # number", src/one_dim/mod.rs:99-115); a batched kernel cannot
-        # raise per point, so the documented deviation is NaN out (the
-        # sanitized index keeps the gather in bounds — floor(NaN) casts
-        # to an implementation-defined int32).
-        bad = ~jnp.isfinite(loc)
+        # The REGULAR reference grid ERRORS on any location whose cell
+        # index is unrepresentable as isize — non-finite OR huge finite
+        # (`<isize as NumCast>::from(fi)` fails, "Unrepresentable number",
+        # src/one_dim/mod.rs:99-115). A batched kernel cannot raise per
+        # point, so the documented deviation is NaN out for exactly that
+        # set (the sanitized index keeps the gather in bounds —
+        # floor(NaN)/overflow casts are implementation-defined). The N-d
+        # regular path raises batch-wide instead (raw._unrep_flag); the
+        # 1D family stays jit-able so it marks per point.
+        fi_raw = jnp.floor((loc - start) / step)
+        bad = ~jnp.isfinite(loc) | (jnp.abs(fi_raw) >= 2.0**63)
         fi = jnp.floor((jnp.where(bad, start, loc) - start) / step)
         i = jnp.clip(fi, 0.0, float(n - 2)).astype(_I32)
         x0 = start + step * i.astype(vals.dtype)
@@ -106,18 +111,22 @@ class RectilinearGrid1D:
         n = grid.shape[0]
         sp = jnp.searchsorted(grid, loc, side="left").astype(_I32)
         # partition_point(< NaN) = 0 (reference + native bisection);
-        # jnp.searchsorted sorts NaN last — see ops/locate.py
+        # jnp.searchsorted sorts NaN last — see ops/locate.py. Unlike the
+        # REGULAR 1D grid, the rectilinear reference never errors on
+        # non-finite locations (its index() is pure bisection with no
+        # float->int cast, src/one_dim/mod.rs:152-166): NaN locates at the
+        # LOW edge cell with Extrap::Inside (every comparison false), inf
+        # at the edges — the bracketing values flow through each
+        # interpolant's own arithmetic (Nearest1D(NaN) -> vals[1],
+        # Linear1D(NaN) -> NaN, Left1D(inf) -> last value, ...).
         sp = jnp.where(jnp.isnan(loc), 0, sp)
         i = jnp.clip(sp - 1, 0, n - 2)
         outside_low = loc < grid[0]
         outside_high = loc > grid[-1]
-        # non-finite locations: NaN out (documented deviation — the
-        # reference errors; see RegularGrid1D.at)
-        bad = ~jnp.isfinite(loc)
         x0 = take1(grid, i)
         x1 = take1(grid, i + 1)
-        y0 = jnp.where(bad, jnp.nan, take1(vals, i))
-        y1 = jnp.where(bad, jnp.nan, take1(vals, i + 1))
+        y0 = take1(vals, i)
+        y1 = take1(vals, i + 1)
         return GridSample1D(x0, y0, x1, y1, outside_low, outside_high)
 
 

@@ -256,8 +256,12 @@ def _depth_ok(e) -> bool:
 def extrap_ok_regular(dims, starts, steps, obs, method, linearize) -> bool:
     """Per-batch admission for non-linearized cubic: max extrapolation
     depth (in cells) on every axis must stay under _EXTRAP_CELLS_CUBIC.
-    Linear / linearized-cubic batches return True with no device work."""
+    Linear / linearized-cubic batches return True with no device work.
+    INTERPN_TPU_F64=i8 bypasses the gate like supported()'s other force
+    escapes (engine-comparison benches must time the engine they ask for)."""
     if method != "cubic" or linearize:
+        return True
+    if os.environ.get("INTERPN_TPU_F64") == "i8":
         return True
     if any(isinstance(x, jax.core.Tracer) for x in (*obs, starts, steps)):
         return False  # traced inputs: depth unknowable; df64/gather serve
@@ -272,6 +276,8 @@ def extrap_ok_regular(dims, starts, steps, obs, method, linearize) -> bool:
 def extrap_ok_rectilinear(grids, obs, method, linearize) -> bool:
     """Rectilinear twin of extrap_ok_regular (depth in edge-cell widths)."""
     if method != "cubic" or linearize:
+        return True
+    if os.environ.get("INTERPN_TPU_F64") == "i8":
         return True
     if any(isinstance(x, jax.core.Tracer) for x in (*obs, *grids)):
         return False

@@ -494,7 +494,8 @@ def _interpn_nearest_regular(dtype, dims, starts, steps, vals, obs, out):
     core = _nearest_regular_don if _fresh_obs(obs) else _nearest_regular
     starts_j, steps_j, vals_j = _prep(dtype, starts, steps, vals)
     obs_j = _prep_list(dtype, obs)
-    result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
+    with _quiet_donation():
+        result, bad = core(dims, starts_j, steps_j, vals_j, obs_j, vf)
     _raise_unrep(bad)
     return _finish(result, out)
 

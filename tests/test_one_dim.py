@@ -77,22 +77,51 @@ def test_hold_1d():
         assert y_near[i] == expected_near
 
 
-def test_one_dim_nonfinite_locations_nan():
-    """The reference ERRORS on non-finite 1D locations ("Unrepresentable
-    number", src/one_dim/mod.rs:99-115); the batched kernels cannot raise
-    per point, so the documented deviation is NaN out — never a
-    plausible-looking grid value (floor(NaN) previously cast to index 0
-    and Nearest1D returned vals[1])."""
+def test_one_dim_regular_unrepresentable_locations_nan():
+    """The REGULAR reference grid errors on any location whose cell index
+    is unrepresentable as isize — non-finite or huge finite
+    ("Unrepresentable number", src/one_dim/mod.rs:99-115). The batched
+    kernels cannot raise per point, so the documented deviation is NaN
+    out — never a plausible-looking grid value (floor(NaN) previously
+    cast to index 0 and Nearest1D returned vals[1])."""
     vals = np.array([10.0, 20.0, 30.0])
-    locs = np.array([np.nan, np.inf, -np.inf, 1.0])
-    for grid in (
-        RegularGrid1D(0.0, 1.0, vals),
-        RectilinearGrid1D(np.array([0.0, 1.0, 2.0]), vals),
-    ):
-        for cls in (Linear1D, LinearHoldLast1D, Left1D, Right1D, Nearest1D):
-            out = np.asarray(cls(grid).eval(locs))
-            assert np.all(np.isnan(out[:3])), (cls.__name__, out)
-            assert np.isfinite(out[3])
+    locs = np.array([np.nan, np.inf, -np.inf, 1e300, -1e300, 1.0])
+    grid = RegularGrid1D(0.0, 1.0, vals)
+    for cls in (Linear1D, LinearHoldLast1D, Left1D, Right1D, Nearest1D):
+        out = np.asarray(cls(grid).eval(locs))
+        assert np.all(np.isnan(out[:5])), (cls.__name__, out)
+        assert np.isfinite(out[5])
+
+
+def test_one_dim_rectilinear_nonfinite_reference_values():
+    """The RECTILINEAR reference grid never errors on non-finite
+    locations (pure bisection, src/one_dim/mod.rs:152-166): NaN locates
+    at the LOW edge cell with Inside extrapolation status, inf at the
+    edges, and each interpolant's own arithmetic decides the value —
+    per-point reference semantics, checked case by case."""
+    vals = np.array([10.0, 20.0, 30.0])
+    grid = RectilinearGrid1D(np.array([0.0, 1.0, 2.0]), vals)
+    locs = np.array([np.nan, np.inf, -np.inf])
+    # reference: match dx1 >= dx0 {true => y0, false => y1} with NaN
+    # comparisons false -> y1; at +/-inf both distances are inf -> y0
+    np.testing.assert_array_equal(
+        np.asarray(Nearest1D(grid).eval(locs))[1:], [20.0, 10.0]
+    )
+    assert np.asarray(Nearest1D(grid).eval(locs))[0] == 20.0
+    # Left1D: y1 only when OutsideHigh; NaN is "Inside" at the low cell
+    np.testing.assert_array_equal(
+        np.asarray(Left1D(grid).eval(locs)), [10.0, 30.0, 10.0]
+    )
+    # Right1D: y0 only when OutsideLow
+    np.testing.assert_array_equal(
+        np.asarray(Right1D(grid).eval(locs)), [20.0, 30.0, 10.0]
+    )
+    # LinearHoldLast1D holds edges at inf; NaN takes the interior branch
+    hold = np.asarray(LinearHoldLast1D(grid).eval(locs))
+    assert np.isnan(hold[0]) and hold[1] == 30.0 and hold[2] == 10.0
+    # Linear1D: slope arithmetic carries NaN/inf through
+    lin = np.asarray(Linear1D(grid).eval(locs))
+    assert np.isnan(lin[0]) and lin[1] == np.inf and lin[2] == -np.inf
 
 
 def test_one_dim_out_param_and_length_mismatch():

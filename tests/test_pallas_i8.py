@@ -430,36 +430,63 @@ class TestExtrapolationGate:
         jax.jit(probe)(*self._obs(0.5))
         assert got == [False]
 
-    def test_fuzz_round_375_regression(self):
-        """The exact fuzz-found config through the public raw surface must
-        agree with the oracle at f64 parity (the gate reroutes it off i8)."""
+    def test_fuzz_round_375_regression(self, monkeypatch):
+        """The fuzz-found config THROUGH THE DISPATCH LAYER with the i8
+        arm live (backend spoofed to "tpu", pallas in interpret mode):
+        first prove the engine itself still reproduces the >= 1e-9 error
+        (the test has teeth), then that dispatch's gate demotion returns
+        oracle-parity results. On the real CPU backend `_impl` never
+        selects i8, which would make a raw-surface assertion vacuous."""
         import sys as _sys
         from pathlib import Path as _P
 
         _sys.path.insert(0, str(_P(__file__).parent))
         import oracle
 
-        import interpn_tpu as it
+        from interpn_tpu.ops import dispatch
 
         rng = np.random.default_rng(300)
-        dims = list(self.dims)
+        dims = tuple(self.dims)
         nd = len(dims)
         starts = rng.uniform(-3, 3, nd)
         steps = rng.uniform(0.2, 2.0, nd)
         vals = rng.standard_normal(int(np.prod(dims)))
-        n = 128
+        n = 2048  # >= MIN_PALLAS_QUERIES so _impl's f64 arm engages
         obs = [
             rng.uniform(starts[k] - 3, starts[k] + steps[k] * (dims[k] + 3), n)
             for k in range(nd)
         ]
-        out = np.zeros(n)
-        it.raw.interpn_cubic_regular_f64(
-            dims, starts, steps, vals, False, obs, out
-        )
+        sj, stj = jnp.asarray(starts), jnp.asarray(steps)
+        vj = jnp.asarray(vals)
+        oj = tuple(jnp.asarray(o) for o in obs)
+        sel = rng.integers(0, n, 96)
         orc = np.array([
-            oracle.cubic_regular(dims, starts, steps, vals,
+            oracle.cubic_regular(list(dims), starts, steps, vals,
                                  [o[i] for o in obs], False)
-            for i in range(n)
+            for i in sel
         ])
         scale = max(1.0, np.abs(orc).max())
-        assert np.abs(out - orc).max() / scale < 1e-12
+
+        # the engine alone still exhibits the failure on this config
+        raw_i8 = np.asarray(
+            i8.eval_regular(dims, sj, stj, vj, oj, "cubic", False)
+        )[sel]
+        assert np.abs(raw_i8 - orc).max() / scale > 1e-10
+
+        # dispatch with the i8 arm reachable must route around it — and
+        # specifically BECAUSE the gate fired, not by accident of policy
+        monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+        gate_calls = []
+        real_gate = i8.extrap_ok_regular
+
+        def spy(*a, **k):
+            r = real_gate(*a, **k)
+            gate_calls.append(r)
+            return r
+
+        monkeypatch.setattr(i8, "extrap_ok_regular", spy)
+        got = np.asarray(
+            dispatch.cubic_regular(dims, sj, stj, vj, oj, False)
+        )[sel]
+        assert gate_calls == [False], gate_calls
+        assert np.abs(got - orc).max() / scale < 1e-12
