@@ -17,6 +17,14 @@ from .dispatch import (
     nearest_rectilinear,
     nearest_regular,
 )
+from .stack import (
+    cubic_rectilinear_stack,
+    cubic_regular_stack,
+    linear_rectilinear_stack,
+    linear_regular_stack,
+    nearest_rectilinear_stack,
+    nearest_regular_stack,
+)
 
 __all__ = [
     "check_bounds_rectilinear",
@@ -27,4 +35,10 @@ __all__ = [
     "linear_regular",
     "nearest_rectilinear",
     "nearest_regular",
+    "cubic_rectilinear_stack",
+    "cubic_regular_stack",
+    "linear_rectilinear_stack",
+    "linear_regular_stack",
+    "nearest_rectilinear_stack",
+    "nearest_regular_stack",
 ]

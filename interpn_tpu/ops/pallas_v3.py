@@ -197,7 +197,7 @@ def _pad(x: int, m: int = 128) -> int:
     return -(-x // m) * m
 
 
-def _choose_group(dims) -> int:
+def _choose_group(dims, nch: int = 1) -> int:
     """Number of trailing axes folded into the MXU contraction.
 
     Cost model per query tile: MXU work is the PADDED block volume
@@ -206,7 +206,9 @@ def _choose_group(dims) -> int:
     is the combined-weight build (~K) plus the segment-sum tail (~lead).
     The padding term is what grouping fixes: 20^4 as (8000, 20) pads 8000 ->
     8064 and 20 -> 128 (13x waste); as (400, 400) it pads to (512, 512)
-    (1.6x)."""
+    (1.6x). With `nch` stacked value tables (channels) the table rows —
+    and hence the padded M extent and the tail — scale by nch while the
+    weight build is shared."""
     ndims = len(dims)
     best_g, best_cost = 1, None
     k = 1
@@ -215,15 +217,15 @@ def _choose_group(dims) -> int:
         if k > _MAX_GROUP_K and g > 1:
             break
         lead = math.prod(dims[: ndims - g])
-        mxu = _pad(lead) * _pad(k) // 64  # per 2 queries at one-pass rate
-        vpu = 16 * (k + lead)  # weight build + tail multiply-adds
+        mxu = _pad(nch * lead) * _pad(k) // 64  # per 2 queries, one-pass rate
+        vpu = 16 * (k + nch * lead)  # weight build + tail multiply-adds
         cost = mxu + vpu
         if best_cost is None or cost < best_cost:
             best_g, best_cost = g, cost
     return best_g
 
 
-def _choose_split(dims, footprint: int):
+def _choose_split(dims, footprint: int, nch: int = 1):
     """Virtual split of the boundary (last lead) axis to cut MXU padding.
 
     pad(lead) * pad(K) is the real per-pass MXU volume whatever the true
@@ -238,21 +240,21 @@ def _choose_split(dims, footprint: int):
     Returns (group, sa, ta) with sa/ta = None when no split pays >= 1.3x.
     """
     ndims = len(dims)
-    group = _choose_group(dims)
+    group = _choose_group(dims, nch)
     m = ndims - group - 1
     if m < 0:
         return group, None, None
     lead = math.prod(dims[: ndims - group])
     k = math.prod(dims[ndims - group:])
     dm = dims[m]
-    base = _pad(lead) * _pad(k)
+    base = _pad(nch * lead) * _pad(k)
     npass = 1 if footprint == 1 else 2
     best = (None, None, None)
     for ta in range(max(footprint, 2), dm):
         if dm % ta:
             continue
         sa = dm // ta
-        vol = npass * _pad(lead // dm * sa) * _pad(ta * k)
+        vol = npass * _pad(nch * (lead // dm * sa)) * _pad(ta * k)
         if base / vol >= 1.3 and (best[0] is None or vol < best[0]):
             best = (vol, sa, ta)
     return group, best[1], best[2]
@@ -304,8 +306,16 @@ _FOOTPRINT = {"linear": 2, "nearest": 1, "cubic": 4}
 
 
 def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
-                  rect: bool):
+                  rect: bool, nch: int = 1):
     """One kernel builder for both grid kinds and both contraction layouts.
+
+    `nch` stacked value tables (channels) evaluate at the same observation
+    points in one kernel: the channel axis rides as the OUTERMOST row block
+    of the (nch*lead, ksize) table, so the MXU contraction and every tail
+    stage see it as extra lead rows sharing one per-query weight build —
+    the dominant cost for small grids — and the output is (nch, tq). With
+    nch == 1 every expression below reduces to the single-channel kernel
+    unchanged (validated on hardware; see scripts/hw_validate.py).
 
     passes: 3 = drop the lo*lo product, 4 = full bf16x2 product, 6 = single
     f32 dot at Precision.HIGHEST on the unsplit table (the default:
@@ -328,7 +338,7 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
     """
     ndims = len(dims)
     footprint = _FOOTPRINT[method]
-    group, sa, ta = _choose_split(dims, footprint)
+    group, sa, ta = _choose_split(dims, footprint, nch)
     m = ndims - group - 1  # boundary (last lead) axis
     split = sa is not None
     npass = (1 if footprint == 1 else 2) if split else 1
@@ -432,25 +442,44 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
                 ai = jnp.where(iota_s == a0 + i, 1.0, 0.0)
                 if merge_tail:
                     u = w0rep * pltpu.repeat(ai, lead, axis=0) if m == 1 else ai
-                    contrib = jnp.sum(t * u, axis=0)
+                    if nch > 1:
+                        # channel = outermost row block: tile the merged
+                        # weights per channel, reduce each block separately
+                        ut = pltpu.repeat(u, nch, axis=0)
+                        contrib = (t * ut).reshape(
+                            nch, u.shape[0], tq
+                        ).sum(axis=1)
+                    else:
+                        contrib = jnp.sum(t * u, axis=0)
                     acc = contrib if acc is None else acc + contrib
                 else:
-                    t = t * pltpu.repeat(ai, max(lead, 1), axis=0)
-                    t = t.reshape(max(lead, 1), sa, tq).sum(axis=1)
+                    leadn = nch * max(lead, 1)
+                    t = t * pltpu.repeat(ai, leadn, axis=0)
+                    t = t.reshape(leadn, sa, tq).sum(axis=1)
                     acc = t if acc is None else acc + t
             if split and merge_tail:
-                out_ref[0, :] = acc.reshape(1, tq)[0, :]
+                if nch > 1:
+                    out_ref[:, :] = acc
+                else:
+                    out_ref[0, :] = acc.reshape(1, tq)[0, :]
                 return
             t = acc
+            # the loop below divides per-axis extents out of `lead`; fold
+            # the channel count in so the repeat/reshape block counts stay
+            # correct with channel as the outermost block
+            lead = nch * max(lead, 1)
             next_axis = m - 1
         else:
             t = mxu(wt)
-            lead = math.prod(dims[: ndims - group])
+            lead = nch * math.prod(dims[: ndims - group])
             next_axis = m
 
         # Remaining lead axes, innermost first; axis 0 reduces to the output.
         if next_axis < 0:
-            out_ref[0, :] = t.reshape(1, tq)[0, :]
+            if nch > 1:
+                out_ref[:, :] = t.reshape(nch, tq)
+            else:
+                out_ref[0, :] = t.reshape(1, tq)[0, :]
             return
         if next_axis == 1:
             # same merged-tail trick as the split branch: with exactly two
@@ -463,8 +492,16 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
             u = (
                 w0.reshape(dims[0], 1, tq) * w1.reshape(1, dims[1], tq)
             ).reshape(dims[0] * dims[1], tq)
-            out_ref[0, :] = jnp.sum(t * u, axis=0)
+            if nch > 1:
+                ut = pltpu.repeat(u, nch, axis=0)
+                out_ref[:, :] = (t * ut).reshape(
+                    nch, dims[0] * dims[1], tq
+                ).sum(axis=1)
+            else:
+                out_ref[0, :] = jnp.sum(t * u, axis=0)
             return
+        # `lead` includes the channel factor (outermost block), so the
+        # per-stage block counts and reshapes below hold for any nch
         for k in range(next_axis, 0, -1):
             lead //= dims[k]
             loc, ws = per_axis[k]
@@ -473,15 +510,21 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
             t = t.reshape(lead, dims[k], tq).sum(axis=1)
         loc, ws = per_axis[0]
         w0 = _weight_mat(tq, dims[0], loc, ws)
-        out_ref[0, :] = jnp.sum(t * w0, axis=0)
+        if nch > 1:
+            w0t = pltpu.repeat(w0, nch, axis=0)
+            out_ref[:, :] = (t * w0t).reshape(nch, dims[0], tq).sum(axis=1)
+        else:
+            out_ref[0, :] = jnp.sum(t * w0, axis=0)
 
     return kernel
 
 
-def _table_shape(dims, method: str):
-    """(lead, ksize) the value table reshapes to, after grouping + split."""
+def _table_shape(dims, method: str, nch: int = 1):
+    """(lead, ksize) ONE channel's table reshapes to, after grouping +
+    split. `nch` informs the group/split cost model only; the stacked
+    table has nch*lead rows."""
     ndims = len(dims)
-    group, sa, ta = _choose_split(dims, _FOOTPRINT[method])
+    group, sa, ta = _choose_split(dims, _FOOTPRINT[method], nch)
     ksize = math.prod(dims[ndims - group:])
     lead = math.prod(dims[: ndims - group])
     if sa is not None:
@@ -833,3 +876,149 @@ def eval_regular_pre(
     w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
     out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals)
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Stacked-table (multi-channel) evaluation
+#
+# Many value tables sharing one grid geometry evaluate at the same points in
+# ONE kernel: the channel axis rides as the outermost row block of the
+# (nch*lead, ksize) table, so the per-query weight build — the critical path
+# for small grids (docs/perf.md roofline: the 3D configs are NOT MXU-bound)
+# — is paid once for all channels, and the MXU contraction grows only by
+# the padded row extent. The reference has no analogue (one table per
+# interpolator, `src/multilinear/regular.rs:200-426`); this is TPU-native
+# surplus capability, exposed as `interpn_tpu.interpn_stack`.
+# ---------------------------------------------------------------------------
+
+
+def supported_stack(dims, nch: int, dtype, method: str) -> bool:
+    """Eligibility of the fused kernel for an `nch`-channel stack."""
+    if nch < 1 or not supported(dims, dtype, method):
+        return False
+    if nch == 1:
+        return True
+    if nch * math.prod(dims) * 4 > _MAX_VALS_BYTES:
+        return False
+    # bound the (nch*lead, tq) contraction tile the same way _compiler_params
+    # can still satisfy: 3 temporaries at the minimum query tile
+    lead, ksize = _table_shape(dims, method, nch)
+    rows = nch * lead
+    need = rows * _pad(ksize) * 4 + 3 * rows * _MIN_TQ * 4
+    return need <= 48 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+def _pallas_v3_stack(dims, nch, starts, steps, vals, method, linearize,
+                     passes, obs_mat):
+    ndims = len(dims)
+    lead, ksize = _table_shape(dims, method, nch)
+    rows = nch * lead
+    tq = _tile_q(max(rows, ksize))
+    n = obs_mat.shape[1]
+    kernel = _build_kernel(dims, method, linearize, tq, passes, rect=False,
+                           nch=nch)
+    v2 = vals.reshape(rows, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, rows, ksize, passes)
+    starts2d = starts.reshape(1, ndims).astype(jnp.float32)
+    steps2d = steps.reshape(1, ndims).astype(jnp.float32)
+    need = (
+        rows * _pad(ksize) * 4
+        + 3 * rows * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = _compiler_params(need)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec((1, ndims), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ndims), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((nch, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nch, n), jnp.float32),
+        )(starts2d, steps2d, obs_mat, *tables)
+    return out
+
+
+def eval_regular_stack(dims, starts, steps, vals_stack, obs, method: str,
+                       linearize: bool, passes: int = 6):
+    """Fused evaluation of an (nch, prod(dims)) table stack on a regular
+    grid: (nch, n) out, one weight build shared across channels."""
+    if method == "nearest":
+        passes = 6  # one-hot selection must reproduce grid values exactly
+    dims = tuple(dims)
+    nch = int(vals_stack.shape[0])
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method, nch)
+    tq = _tile_q(max(nch * lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    obs_mat = jnp.stack(
+        [jnp.pad(o.astype(jnp.float32), (0, n_pad - n), mode="edge") for o in obs]
+    )
+    out = _pallas_v3_stack(
+        dims, nch, starts, steps, vals_stack.reshape(-1), method,
+        bool(linearize), passes, obs_mat,
+    )
+    return out[:, :n]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def _pallas_v3_pre_stack(dims, nch, method, locs_mat, w_mat, passes, vals):
+    ndims = len(dims)
+    footprint = _FOOTPRINT[method]
+    lead, ksize = _table_shape(dims, method, nch)
+    rows = nch * lead
+    tq = _tile_q(max(rows, ksize))
+    n = locs_mat.shape[1]
+    kernel = _build_kernel(dims, method, True, tq, passes, rect="pre",
+                           nch=nch)
+    v2 = vals.reshape(rows, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, rows, ksize, passes)
+    nw = ndims * footprint
+    need = (
+        rows * _pad(ksize) * 4
+        + 3 * rows * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = _compiler_params(need)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nw, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((nch, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nch, n), jnp.float32),
+        )(locs_mat, w_mat, *tables)
+    return out
+
+
+def eval_rectilinear_stack(grids, vals_stack, obs, method: str,
+                           linearize: bool, passes: int = 6):
+    """Stacked-table twin of eval_rectilinear_pre: XLA-precomputed locate +
+    basis weights (shared across channels), fused placement + contraction."""
+    if method == "nearest":
+        passes = 6
+    dims = tuple(int(g.shape[0]) for g in grids)
+    nch = int(vals_stack.shape[0])
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method, nch)
+    tq = _tile_q(max(nch * lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    locs, ws = _rect_locs_weights(grids, obs, method, bool(linearize))
+    pad = n_pad - n
+    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    out = _pallas_v3_pre_stack(
+        dims, nch, method, locs_mat, w_mat, passes, vals_stack.reshape(-1)
+    )
+    return out[:, :n]
