@@ -1,0 +1,277 @@
+"""scipy.interpolate-compatible adapter layer.
+
+Drop-in equivalents of ``scipy.interpolate.RegularGridInterpolator`` and
+``scipy.interpolate.interpn`` backed by this package's TPU-native engines.
+The reference library positions itself against scipy's RGI (its benchmark
+suite normalizes every number to scipy RGI throughput,
+``/root/reference/benches/bench_cpu.py:516-523``); this module lets scipy
+users migrate without rewriting call sites.
+
+API semantics mirrored from scipy 1.17 (probed, not copied):
+
+* ``points`` axes may be strictly ascending or descending; descending axes
+  are flipped internally and ``.grid`` stores the ascending copy.
+* ``values`` may carry trailing (non-grid) axes; those evaluate as a
+  channel stack through :func:`interpn_tpu.interpn_stack` and appear as
+  trailing axes of the result.
+* ``xi`` accepts an ``(..., ndim)`` array, a broadcastable tuple of
+  coordinate arrays, or a 1-D array (a column of points for 1-D grids, a
+  single point otherwise).
+* ``bounds_error`` / ``fill_value`` / NaN semantics match scipy exactly:
+  exact ``lo <= x <= hi`` bounds test, NaN coordinates raise when
+  ``bounds_error`` else produce NaN output (never ``fill_value``), and
+  ``fill_value=None`` extrapolates.
+* Error messages match scipy's strings.
+
+Deliberate deviations (documented, not accidental):
+
+* Supported methods are ``linear``, ``nearest``, ``cubic`` only.  scipy's
+  ``slinear``/``quintic``/``pchip`` raise ``ValueError``.
+* ``cubic`` is the reference library's local Hermite scheme (centered
+  differences, natural boundary, ``src/multicubic/mod.rs:68-117``), not
+  scipy's global tensor spline: values agree to interpolation error, not
+  bitwise.  ``linearize_extrapolation`` is exposed as an extension kwarg.
+* Nearest midpoint tie-breaking follows the reference (``dt <= 0.5`` takes
+  the lower node, ``src/nearest/regular.rs:283-287``); scipy documents its
+  own tie behavior as unspecified.
+* Complex values are unsupported.
+
+Computation runs in float64 (matching scipy's promotion — a float32
+``values`` array still yields float64 output); use the package's native API
+for float32-throughput paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["RegularGridInterpolator", "interpn"]
+
+_METHODS = ("linear", "nearest", "cubic")
+
+
+def _as_points(points, values):
+    """Validate grid axes, flip descending ones, return (grids, values)."""
+    if hasattr(values, "ndim") and np.iscomplexobj(values):
+        raise ValueError("complex values are not supported by interpn_tpu.compat")
+    values = np.asarray(values, dtype=np.float64)
+    if isinstance(points, np.ndarray) and points.ndim == 1:
+        points = (points,)
+    grids = []
+    for i, p in enumerate(points):
+        p = np.ascontiguousarray(np.asarray(p, dtype=np.float64))
+        if p.ndim != 1:
+            raise ValueError(f"The points in dimension {i} must be 1-dimensional")
+        d = np.diff(p)
+        if np.all(d > 0):
+            pass
+        elif np.all(d < 0):
+            p = p[::-1].copy()
+            values = np.flip(values, axis=i)
+        else:
+            raise ValueError(
+                f"The points in dimension {i} must be strictly "
+                "ascending or descending"
+            )
+        grids.append(p)
+    if values.ndim < len(grids):
+        raise ValueError(
+            f"There are {len(grids)} point arrays, but values has "
+            f"{values.ndim} dimensions"
+        )
+    for i, g in enumerate(grids):
+        if values.shape[i] != g.size:
+            raise ValueError(
+                f"There are {g.size} points and {values.shape[i]} values "
+                f"in dimension {i}"
+            )
+    return grids, np.ascontiguousarray(values)
+
+
+def _check_method(method, grids, values):
+    if method not in _METHODS:
+        raise ValueError(f"Method '{method}' is not defined")
+    if method == "cubic":
+        for i, g in enumerate(grids):
+            if g.size < 4:
+                # scipy's message (double space included)
+                raise ValueError(
+                    f"There are {g.size} points in dimension {i}, but "
+                    f"method cubic requires at least  4 points per "
+                    "dimension."
+                )
+
+
+class RegularGridInterpolator:
+    """scipy-compatible interpolator over a rectilinear grid.
+
+    Parameters, attributes (``grid``, ``values``, ``method``,
+    ``bounds_error``, ``fill_value``), call convention, and error strings
+    follow ``scipy.interpolate.RegularGridInterpolator``; evaluation runs
+    on this package's engines (Pallas/MXU on TPU, C++/XLA on CPU).
+
+    Extension kwarg: ``linearize_extrapolation`` (cubic only, default
+    False) switches out-of-bounds cubic evaluation to the reference's
+    linearized mode (``src/multicubic/regular.rs:553-561``).
+    """
+
+    def __init__(
+        self,
+        points,
+        values,
+        method: str = "linear",
+        bounds_error: bool = True,
+        fill_value=np.nan,
+        *,
+        linearize_extrapolation: bool = False,
+    ):
+        grids, values = _as_points(points, values)
+        _check_method(method, grids, values)
+        if fill_value is not None:
+            try:
+                fill_value = float(fill_value)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "fill_value must be either 'None' or of a type "
+                    "compatible with values"
+                ) from None
+        self.grid = tuple(grids)
+        self.values = values
+        self.method = method
+        self.bounds_error = bounds_error
+        self.fill_value = fill_value
+        self.linearize_extrapolation = linearize_extrapolation
+        self._ndim = len(grids)
+        self._models: dict[str, object] = {}
+        # scipy stores which input axes arrived descending; we re-derive
+        # nothing from it, but the attribute name is part of the probed
+        # public surface some callers touch.
+        self._descending_dimensions = ()
+
+    # -- xi marshalling ------------------------------------------------
+    def _prepare_xi(self, xi):
+        ndim = self._ndim
+        if isinstance(xi, tuple):
+            arrs = np.broadcast_arrays(*(np.asarray(a, dtype=np.float64) for a in xi))
+            if len(arrs) != ndim:
+                raise ValueError(
+                    f"The requested sample points xi have dimension "
+                    f"{len(arrs)} but this RegularGridInterpolator has "
+                    f"dimension {ndim}"
+                )
+            xi = np.stack(arrs, axis=-1)
+        else:
+            xi = np.asarray(xi, dtype=np.float64)
+            if xi.ndim == 1:
+                xi = xi.reshape(-1, 1) if ndim == 1 else xi.reshape(1, -1)
+        if xi.ndim == 0 or xi.shape[-1] != ndim:
+            have = xi.shape[-1] if xi.ndim else 0
+            raise ValueError(
+                f"The requested sample points xi have dimension {have} "
+                f"but this RegularGridInterpolator has dimension {ndim}"
+            )
+        out_shape = xi.shape[:-1]
+        flat = np.ascontiguousarray(xi.reshape(-1, ndim))
+        return flat, out_shape
+
+    # -- model cache ---------------------------------------------------
+    def _model(self, method):
+        m = self._models.get(method)
+        if m is None:
+            from . import (
+                MulticubicRectilinear,
+                MultilinearRectilinear,
+                NearestRectilinear,
+            )
+
+            vals = self.values.reshape(-1)
+            grids = list(self.grid)
+            if method == "linear":
+                m = MultilinearRectilinear.new(grids, vals)
+            elif method == "cubic":
+                m = MulticubicRectilinear.new(
+                    grids, vals, linearize_extrapolation=self.linearize_extrapolation
+                )
+            else:
+                m = NearestRectilinear.new(grids, vals)
+            self._models[method] = m
+        return m
+
+    # -- evaluation ----------------------------------------------------
+    def __call__(self, xi, method: str | None = None):
+        method = self.method if method is None else method
+        _check_method(method, self.grid, self.values)
+        flat, out_shape = self._prepare_xi(xi)
+        ndim = self._ndim
+
+        nan_mask = np.zeros(flat.shape[0], dtype=bool)
+        oob_mask = np.zeros(flat.shape[0], dtype=bool)
+        for i in range(ndim):
+            p = flat[:, i]
+            lo, hi = self.grid[i][0], self.grid[i][-1]
+            bad = np.isnan(p)
+            nan_mask |= bad
+            if self.bounds_error:
+                ok = np.logical_and(p >= lo, p <= hi)
+                if not np.all(ok):
+                    raise ValueError(
+                        "One of the requested xi is out of bounds "
+                        f"in dimension {i}"
+                    )
+            else:
+                # exact scipy rule: NaN is *not* out-of-bounds (it gets
+                # NaN output, never fill_value)
+                oob_mask |= (p < lo) | (p > hi)
+
+        sanitize = nan_mask if self.fill_value is None else (nan_mask | oob_mask)
+        if sanitize.any():
+            flat = flat.copy()
+            for i in range(ndim):
+                flat[sanitize, i] = self.grid[i][0]
+
+        obs = [np.ascontiguousarray(flat[:, i]) for i in range(ndim)]
+        trailing = self.values.shape[ndim:]
+        if trailing:
+            from . import interpn_stack
+
+            nch = int(np.prod(trailing))
+            # channel axis first: (nch, prod(grid))
+            vt = np.ascontiguousarray(
+                self.values.reshape(-1, nch).T
+            )
+            res = interpn_stack(
+                obs,
+                list(self.grid),
+                vt,
+                method=method,
+                linearize_extrapolation=self.linearize_extrapolation,
+            )
+            res = np.array(res)  # (nch, npts); copy — jax buffers are read-only
+            if self.fill_value is not None and oob_mask.any():
+                res[:, oob_mask] = self.fill_value
+            if nan_mask.any():
+                res[:, nan_mask] = np.nan
+            res = res.T.reshape(out_shape + trailing)
+            return res
+
+        res = self._model(method).eval(obs)
+        if self.fill_value is not None and oob_mask.any():
+            res[oob_mask] = self.fill_value
+        if nan_mask.any():
+            res[nan_mask] = np.nan
+        return res.reshape(out_shape)
+
+
+def interpn(
+    points,
+    values,
+    xi,
+    method: str = "linear",
+    bounds_error: bool = True,
+    fill_value=np.nan,
+):
+    """scipy.interpolate.interpn-compatible one-shot helper."""
+    rgi = RegularGridInterpolator(
+        points, values, method=method, bounds_error=bounds_error, fill_value=fill_value
+    )
+    return rgi(xi)

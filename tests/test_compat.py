@@ -1,0 +1,250 @@
+"""scipy-adapter parity tests: interpn_tpu.compat vs scipy.interpolate.
+
+Every behavioral case asserts against scipy itself (same inputs through
+both), so the compat surface tracks scipy's actual semantics rather than a
+transcription of them. Reference context: the upstream library benchmarks
+against scipy RGI (/root/reference/benches/bench_cpu.py:516-523).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import scipy.interpolate as si
+
+from interpn_tpu import compat
+from interpn_tpu.models import MulticubicRectilinear
+
+
+def _grid(rng, n):
+    g = np.sort(rng.uniform(-2.0, 2.0, n))
+    while np.any(np.diff(g) <= 1e-3):
+        g = np.sort(rng.uniform(-2.0, 2.0, n))
+    return g
+
+
+def _make(rng, ndims, npts=6):
+    grids = tuple(_grid(rng, npts + i) for i in range(ndims))
+    shape = tuple(g.size for g in grids)
+    vals = rng.standard_normal(shape)
+    return grids, vals
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3, 4])
+@pytest.mark.parametrize("method", ["linear", "nearest"])
+def test_interior_matches_scipy(ndims, method):
+    rng = np.random.default_rng(1234 + ndims)
+    grids, vals = _make(rng, ndims)
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    xi = rng.uniform(lo + 0.05, hi - 0.05, (200, ndims))
+
+    ours = compat.RegularGridInterpolator(grids, vals, method=method)
+    theirs = si.RegularGridInterpolator(grids, vals, method=method)
+    np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-12, atol=1e-12)
+
+
+def test_descending_axes_match_scipy():
+    rng = np.random.default_rng(7)
+    grids, vals = _make(rng, 2)
+    gdesc = (grids[0][::-1].copy(), grids[1])
+    vdesc = np.flip(vals, axis=0)
+    xi = rng.uniform(
+        [g.min() for g in grids], [g.max() for g in grids], (50, 2)
+    )
+    ours = compat.RegularGridInterpolator(gdesc, vdesc)
+    theirs = si.RegularGridInterpolator(gdesc, vdesc)
+    np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-12, atol=1e-12)
+    # ascending copy is exposed like scipy's
+    np.testing.assert_array_equal(ours.grid[0], grids[0])
+
+
+def test_linear_extrapolation_matches_scipy():
+    rng = np.random.default_rng(11)
+    grids, vals = _make(rng, 2)
+    xi = np.array([[grids[0][0] - 0.7, grids[1][-1] + 0.3], [0.0, 0.0]])
+    ours = compat.RegularGridInterpolator(
+        grids, vals, bounds_error=False, fill_value=None
+    )
+    theirs = si.RegularGridInterpolator(
+        grids, vals, bounds_error=False, fill_value=None
+    )
+    np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-12, atol=1e-12)
+
+
+def test_fill_value_and_nan_semantics_match_scipy():
+    rng = np.random.default_rng(3)
+    grids, vals = _make(rng, 2)
+    xi = np.array(
+        [
+            [grids[0][0] - 1.0, 0.0],  # out of bounds -> fill
+            [np.nan, 0.0],  # NaN -> NaN, never fill
+            [grids[0][2], grids[1][2]],  # on-node -> value
+        ]
+    )
+    for fill in (np.nan, -9.0):
+        ours = compat.RegularGridInterpolator(
+            grids, vals, bounds_error=False, fill_value=fill
+        )
+        theirs = si.RegularGridInterpolator(
+            grids, vals, bounds_error=False, fill_value=fill
+        )
+        np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-12, atol=1e-12)
+
+
+def test_bounds_error_message_matches_scipy():
+    grids = (np.arange(4.0), np.arange(4.0))
+    vals = np.arange(16.0).reshape(4, 4)
+    xi = np.array([[1.0, 9.0]])
+    ours = compat.RegularGridInterpolator(grids, vals)
+    theirs = si.RegularGridInterpolator(grids, vals)
+    with pytest.raises(ValueError) as e_theirs:
+        theirs(xi)
+    with pytest.raises(ValueError) as e_ours:
+        ours(xi)
+    assert str(e_ours.value) == str(e_theirs.value)
+    # NaN also raises under bounds_error, like scipy
+    with pytest.raises(ValueError):
+        ours(np.array([[np.nan, 1.0]]))
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        dict(points=(np.array([0.0, 1.0, 1.0, 3.0]),), values=np.arange(4.0)),
+        dict(points=(np.arange(4.0).reshape(2, 2),), values=np.arange(4.0).reshape(2, 2)),
+        dict(points=(np.arange(4.0),), values=np.arange(5.0)),
+        dict(points=(np.arange(3.0),), values=np.arange(3.0), method="cubic"),
+        dict(points=(np.arange(4.0),), values=np.arange(4.0), method="foo"),
+    ],
+)
+def test_constructor_error_messages_match_scipy(bad):
+    with pytest.raises(ValueError) as e_theirs:
+        si.RegularGridInterpolator(**bad)
+    with pytest.raises(ValueError) as e_ours:
+        compat.RegularGridInterpolator(**bad)
+    assert str(e_ours.value) == str(e_theirs.value)
+
+
+@pytest.mark.parametrize("method", ["slinear", "quintic", "pchip"])
+def test_scipy_only_methods_raise(method):
+    """Methods scipy defines but this adapter deliberately does not."""
+    with pytest.raises(ValueError, match="is not defined"):
+        compat.RegularGridInterpolator(
+            (np.arange(8.0),), np.arange(8.0), method=method
+        )
+
+
+def test_xi_shapes_match_scipy():
+    grids = (np.arange(4.0), np.arange(4.0))
+    vals = np.arange(16.0).reshape(4, 4)
+    ours = compat.RegularGridInterpolator(grids, vals)
+    theirs = si.RegularGridInterpolator(grids, vals)
+
+    # tuple xi (broadcast)
+    t = (np.array([1.0, 2.0]), np.array([0.5, 1.5]))
+    np.testing.assert_allclose(ours(t), theirs(t))
+    # 1-D xi on a 2-D grid = one point, result shape (1,)
+    p = np.array([1.0, 0.5])
+    assert ours(p).shape == theirs(p).shape == (1,)
+    np.testing.assert_allclose(ours(p), theirs(p))
+    # (..., ndim) batch keeps leading shape
+    b = np.tile(p, (3, 5, 1))
+    assert ours(b).shape == theirs(b).shape == (3, 5)
+    # wrong trailing dimension: same message
+    with pytest.raises(ValueError) as e_theirs:
+        theirs(np.ones((3, 3)))
+    with pytest.raises(ValueError) as e_ours:
+        ours(np.ones((3, 3)))
+    assert str(e_ours.value) == str(e_theirs.value)
+
+    # 1-D grids accept bare 1-D xi and lists
+    g1 = compat.RegularGridInterpolator((np.arange(4.0),), np.arange(4.0))
+    s1 = si.RegularGridInterpolator((np.arange(4.0),), np.arange(4.0))
+    np.testing.assert_allclose(g1([1.5, 2.5]), s1([1.5, 2.5]))
+
+
+def test_per_call_method_override_matches_scipy():
+    grids = (np.arange(4.0),)
+    vals = np.array([0.0, 1.0, 4.0, 9.0])
+    ours = compat.RegularGridInterpolator(grids, vals)
+    theirs = si.RegularGridInterpolator(grids, vals)
+    xi = np.array([1.2, 2.7])
+    np.testing.assert_allclose(
+        ours(xi, method="nearest"), theirs(xi, method="nearest")
+    )
+
+
+def test_trailing_value_dims_match_scipy():
+    rng = np.random.default_rng(21)
+    grids, _ = _make(rng, 2)
+    shape = tuple(g.size for g in grids)
+    vals = rng.standard_normal(shape + (3, 2))
+    xi = rng.uniform(
+        [g[0] for g in grids], [g[-1] for g in grids], (40, 2)
+    )
+    ours = compat.RegularGridInterpolator(grids, vals)
+    theirs = si.RegularGridInterpolator(grids, vals)
+    ro, rt = ours(xi), theirs(xi)
+    assert ro.shape == rt.shape == (40, 3, 2)
+    np.testing.assert_allclose(ro, rt, rtol=1e-12, atol=1e-12)
+    # fill/NaN propagate across all channels
+    xib = np.array([[grids[0][0] - 1.0, 0.0], [np.nan, 0.0]])
+    of = compat.RegularGridInterpolator(grids, vals, bounds_error=False, fill_value=-5.0)
+    sf = si.RegularGridInterpolator(grids, vals, bounds_error=False, fill_value=-5.0)
+    np.testing.assert_allclose(of(xib), sf(xib), rtol=1e-12, atol=1e-12)
+
+
+def test_cubic_consistent_with_model_and_exact_on_quadratic():
+    rng = np.random.default_rng(5)
+    grids, _ = _make(rng, 2)
+    gx, gy = np.meshgrid(*grids, indexing="ij")
+    vals = gx**2 + 0.5 * gx * gy - gy**2
+
+    ours = compat.RegularGridInterpolator(grids, vals, method="cubic")
+    xi = rng.uniform([g[0] for g in grids], [g[-1] for g in grids], (100, 2))
+    out = ours(xi)
+    # cubic Hermite with centered differences reproduces quadratics
+    expect = xi[:, 0] ** 2 + 0.5 * xi[:, 0] * xi[:, 1] - xi[:, 1] ** 2
+    np.testing.assert_allclose(out, expect, rtol=1e-8, atol=1e-8)
+    # and agrees with the package's own model class bitwise
+    model = MulticubicRectilinear.new(
+        list(grids), vals.reshape(-1), linearize_extrapolation=False
+    )
+    direct = model.eval([np.ascontiguousarray(xi[:, i]) for i in range(2)])
+    np.testing.assert_array_equal(out, direct)
+
+
+def test_interpn_function_matches_scipy():
+    grids = (np.arange(4.0), np.arange(4.0))
+    vals = np.arange(16.0).reshape(4, 4)
+    xi = np.array([[1.0, 0.5], [2.5, 2.5]])
+    np.testing.assert_allclose(
+        compat.interpn(grids, vals, xi), si.interpn(grids, vals, xi)
+    )
+    with pytest.raises(ValueError) as e_ours:
+        compat.interpn((np.arange(4.0),), np.arange(4.0), np.array([9.0]))
+    with pytest.raises(ValueError) as e_theirs:
+        si.interpn((np.arange(4.0),), np.arange(4.0), np.array([9.0]))
+    assert str(e_ours.value) == str(e_theirs.value)
+
+
+def test_float32_values_promote_to_float64_like_scipy():
+    g = (np.arange(4.0),)
+    v32 = np.arange(4.0, dtype=np.float32)
+    ours = compat.RegularGridInterpolator(g, v32)
+    theirs = si.RegularGridInterpolator(g, v32)
+    ro, rt = ours(np.array([1.5])), theirs(np.array([1.5]))
+    assert ro.dtype == rt.dtype == np.float64
+    np.testing.assert_allclose(ro, rt)
+
+
+def test_fill_value_type_error_matches_scipy():
+    g = (np.arange(4.0),)
+    v = np.arange(4.0)
+    with pytest.raises(ValueError) as e_theirs:
+        si.RegularGridInterpolator(g, v, bounds_error=False, fill_value="x")
+    with pytest.raises(ValueError) as e_ours:
+        compat.RegularGridInterpolator(g, v, bounds_error=False, fill_value="x")
+    assert str(e_ours.value) == str(e_theirs.value)
