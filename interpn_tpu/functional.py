@@ -112,7 +112,10 @@ class JaxInterpolator:
         if method not in _METHODS:
             raise ValueError(f"Method '{method}' is not defined")
         limit = 6 if method == "nearest" else 8
-        assert 1 <= ndims <= limit, "Dimension mismatch"
+        if not 1 <= ndims <= limit:
+            # raise (not `assert`) so the contract survives python -O,
+            # matching raw._require
+            raise AssertionError("Dimension mismatch")
 
     # ---- pytree protocol -------------------------------------------------
     def tree_flatten(self):
@@ -139,7 +142,7 @@ class JaxInterpolator:
         traced-table finiteness assumption (docs/api.md, "Non-finite grid
         values")."""
         obs = [jnp.asarray(o) for o in obs]
-        if len(obs) != self.ndims:
+        if len(obs) != self.ndims or any(o.shape != obs[0].shape for o in obs):
             raise AssertionError("Dimension mismatch")
         shape = obs[0].shape
         flat = [o.reshape(-1) for o in obs]

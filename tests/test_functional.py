@@ -206,3 +206,5 @@ def test_errors():
     itp = JaxInterpolator.regular([4, 4], np.zeros(2), np.ones(2), np.zeros(16))
     with pytest.raises(AssertionError, match="Dimension mismatch"):
         itp([np.zeros(3)])
+    with pytest.raises(AssertionError, match="Dimension mismatch"):
+        itp([np.zeros(3), np.zeros(4)])
