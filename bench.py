@@ -35,12 +35,15 @@ N_OBS = 1_000_000
 # DISTINCT inputs inside one jit: this amortizes this environment's ~25 ms
 # relay dispatch latency (real TPU deployments dispatch in tens of us; the
 # profiler-measured kernel time for this config is 2.75 ms/eval = 382 Mq/s,
-# see docs/perf.md "kernel-time" table — R=96 reports within 5% of it).
-# R=192 was tried (round 3): the 2x obs stacks (3 x 2.3 GB of tunnel
-# transfers) wedged the relay before the first timed scan — probe timeout,
-# then a 420 s watchdog kill. The residual ~20% headline-vs-kernel gap is
-# relay dispatch this environment can't amortize further; keep 96.
-R = int(os.environ.get("INTERPN_TPU_BENCH_R", "96"))
+# see docs/perf.md "kernel-time" table).
+# R history: host-generated stacks wedged the relay at R=192 (3 x 2.3 GB of
+# tunnel transfers; probe timeout, 420 s watchdog kill). Round 3 moved
+# generation ON DEVICE (jax.random, ONE stack live at a time — the 4.6 GB
+# R=384 stack fits HBM alone, three at once do not): no tunnel traffic,
+# measured 320.6/325.6/335.8 Mq/s at R=192/288/384 vs 306.6 at R=96
+# (benches/exp_devgen.py). Fitting overhead = a + b/R gives a ~ 0.09 ms,
+# so R=768 (9.2 GB stack) would buy only ~+2% — 384 is the knee.
+R = int(os.environ.get("INTERPN_TPU_BENCH_R", "384"))
 SCIPY_SPEEDUP_3D_LINEAR = 11.2  # BASELINE.md: 3D linear prealloc @ 10k obs
 
 
@@ -64,19 +67,31 @@ def _grid(ndims, dtype):
 
 
 def _obs_stack(ndims, n, dtype, seed=0):
+    """One (R, ndims, n) stack of query coordinates, generated ON DEVICE.
+
+    Host-generated stacks had to ship through this image's relay tunnel
+    (2.3 GB each at R=192), which wedged the device; jax.random generation
+    moves only a key across the tunnel (benches/exp_devgen.py)."""
+    import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(seed)
-    return jnp.asarray(rng.uniform(-0.5, 10.5, (R, ndims, n)), dtype=dtype)
+    gen = jax.jit(
+        lambda key: jax.random.uniform(
+            key, (R, ndims, n), dtype, minval=-0.5, maxval=10.5
+        )
+    )
+    return jax.block_until_ready(gen(jax.random.PRNGKey(seed)))
 
 
-def _scan_time(kernel, obs_stacks):
+def _scan_time(kernel, ndims, n, dtype, seeds=(0, 1, 2)):
     """Seconds per evaluation of `kernel` over one (ndims, n) obs set.
 
     Takes the best of several timed scans over DISTINCT input stacks: the
     relay-attached device in this image has minute-scale latency variance,
     and the best observed rate is the honest estimate of device throughput
-    (each timed quantity is itself an R-evaluation average)."""
+    (each timed quantity is itself an R-evaluation average). Stacks are
+    generated on device one at a time — holding several R=192+ stacks
+    (2.3 GB each) at once exhausts HBM."""
     import jax
     import jax.numpy as jnp
 
@@ -91,14 +106,22 @@ def _scan_time(kernel, obs_stacks):
         acc, _ = jax.lax.scan(body, jnp.zeros((), obs_stack.dtype), obs_stack)
         return acc
 
-    r = run(obs_stacks[0])
-    jax.block_until_ready(r)  # compile + warm
     best = float("inf")
-    for stack in obs_stacks:
+    for i, seed in enumerate(seeds):
+        t_gen = time.perf_counter()
+        stack = _obs_stack(ndims, n, dtype, seed=seed)
+        print(f"#   stack {seed}: gen {time.perf_counter() - t_gen:.1f}s",
+              file=sys.stderr, flush=True)
+        if i == 0:
+            t_c = time.perf_counter()
+            jax.block_until_ready(run(stack))  # compile + warm
+            print(f"#   compile+warm {time.perf_counter() - t_c:.1f}s",
+                  file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         r = run(stack)
         jax.block_until_ready(r)
         best = min(best, (time.perf_counter() - t0) / R)
+        del stack, r
     return best
 
 
@@ -110,7 +133,6 @@ def bench_device(method: str, dtype_name: str, ndims: int = 3, n_obs: int = N_OB
 
     dtype = {"f32": jnp.float32, "f64": jnp.float64}[dtype_name]
     _, _, starts, steps, vals = _grid(ndims, dtype)
-    stacks = [_obs_stack(ndims, n_obs, dtype, seed=s) for s in (0, 1, 2)]
     dims = (GRID_N,) * ndims
 
     kern = {
@@ -118,7 +140,7 @@ def bench_device(method: str, dtype_name: str, ndims: int = 3, n_obs: int = N_OB
         "cubic": lambda o: ops.cubic_regular(dims, starts, steps, vals, o, True),
         "nearest": lambda o: ops.nearest_regular(dims, starts, steps, vals, o),
     }[method]
-    dt = _scan_time(kern, stacks)
+    dt = _scan_time(kern, ndims, n_obs, dtype)
     return n_obs / dt
 
 
@@ -222,12 +244,18 @@ def _device_headline_watchdog():
                 f"# device bench attempt {attempt + 1} produced no result",
                 file=sys.stderr,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(
                 f"# device bench attempt {attempt + 1} exceeded {budget}s;"
                 " killed",
                 file=sys.stderr,
             )
+            tail = (e.stderr or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            if tail:
+                print("# child stderr tail: " + tail[-400:].replace("\n", " | "),
+                      file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# device bench failed: {type(e).__name__}", file=sys.stderr)
         if attempt == 0:
@@ -261,6 +289,7 @@ def main():
         print("PROBE OK")
         return
     if "--device-child" in sys.argv:
+        print("# child up; entering bench_device", file=sys.stderr, flush=True)
         print(f"QPS {bench_device('linear', 'f32')}")
         return
     qps, metric = _device_headline_watchdog()
