@@ -25,8 +25,11 @@ API semantics mirrored from scipy 1.17 (probed, not copied):
 
 Deliberate deviations (documented, not accidental):
 
-* Supported methods are ``linear``, ``nearest``, ``cubic`` only.  scipy's
-  ``slinear``/``quintic``/``pchip`` raise ``ValueError``.
+* Supported methods are ``linear``, ``nearest``, ``cubic``, and
+  ``slinear``.  A degree-1 tensor spline is the same piecewise-linear
+  function multilinear interpolation evaluates (probed: scipy's two
+  methods agree to 1 ulp), so ``slinear`` routes to the linear engine;
+  scipy's ``quintic``/``pchip`` raise ``ValueError``.
 * ``cubic`` is the reference library's local Hermite scheme (centered
   differences, natural boundary, ``src/multicubic/mod.rs:68-117``), not
   scipy's global tensor spline: values agree to interpolation error, not
@@ -47,7 +50,7 @@ import numpy as np
 
 __all__ = ["RegularGridInterpolator", "interpn"]
 
-_METHODS = ("linear", "nearest", "cubic")
+_METHODS = ("linear", "nearest", "cubic", "slinear")
 
 
 def _as_points(points, values):
@@ -91,14 +94,15 @@ def _as_points(points, values):
 def _check_method(method, grids, values):
     if method not in _METHODS:
         raise ValueError(f"Method '{method}' is not defined")
-    if method == "cubic":
+    min_pts = {"cubic": 4, "slinear": 2}.get(method)
+    if min_pts is not None:
         for i, g in enumerate(grids):
-            if g.size < 4:
+            if g.size < min_pts:
                 # scipy's message (double space included)
                 raise ValueError(
                     f"There are {g.size} points in dimension {i}, but "
-                    f"method cubic requires at least  4 points per "
-                    "dimension."
+                    f"method {method} requires at least  {min_pts} points "
+                    "per dimension."
                 )
 
 
@@ -201,6 +205,10 @@ class RegularGridInterpolator:
     def __call__(self, xi, method: str | None = None):
         method = self.method if method is None else method
         _check_method(method, self.grid, self.values)
+        # a degree-1 tensor spline IS multilinear interpolation (same
+        # piecewise-linear function; scipy's two methods agree to 1 ulp)
+        if method == "slinear":
+            method = "linear"
         flat, out_shape = self._prepare_xi(xi)
         ndim = self._ndim
 

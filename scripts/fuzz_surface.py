@@ -127,8 +127,60 @@ def _one_dim_round(rng: np.random.Generator, idx: int) -> None:
                   regular=regular, n_grid=n_grid, n=n)
 
 
+def _compat_round(rng: np.random.Generator, idx: int) -> None:
+    """scipy-adapter leg: interpn_tpu.compat vs scipy.interpolate itself
+    on the methods where scipy defines the exact function (linear/slinear;
+    nearest ties are unspecified in scipy, so nearest is crossed in-bounds
+    away from midpoints by using continuous random points)."""
+    import scipy.interpolate as si
+
+    from interpn_tpu import compat
+
+    ndims = int(rng.integers(1, 4))
+    dims = [int(rng.integers(2, 7)) for _ in range(ndims)]
+    grids = []
+    for d in dims:
+        g = np.sort(rng.uniform(-3, 3, d))
+        while np.any(np.diff(g) <= 1e-2):
+            g = np.sort(rng.uniform(-3, 3, d))
+        # exercise the descending-axis flip half the time
+        grids.append(g[::-1].copy() if rng.integers(0, 2) else g)
+    trailing = (int(rng.integers(2, 4)),) if rng.integers(0, 2) else ()
+    vals = rng.standard_normal(tuple(dims) + trailing)
+    method = str(rng.choice(["linear", "slinear", "nearest"]))
+    fill = [np.nan, None, 2.5][int(rng.integers(0, 3))]
+
+    lo = np.array([min(g[0], g[-1]) for g in grids])
+    hi = np.array([max(g[0], g[-1]) for g in grids])
+    n = int(rng.integers(1, 64))
+    span = hi - lo
+    xi = rng.uniform(lo - 0.4 * span, hi + 0.4 * span, (n, ndims))
+    if n > 2:
+        xi[int(rng.integers(0, n)), int(rng.integers(0, ndims))] = np.nan
+
+    cfg = dict(leg="compat", method=method, ndims=ndims, dims=dims,
+               trailing=trailing, fill=str(fill), n=n)
+    ours = compat.RegularGridInterpolator(
+        tuple(grids), vals, method=method, bounds_error=False, fill_value=fill
+    )
+    theirs = si.RegularGridInterpolator(
+        tuple(grids), vals, method=method, bounds_error=False, fill_value=fill
+    )
+    a, b = np.asarray(ours(xi)), np.asarray(theirs(xi))
+    if a.shape != b.shape:
+        _fail(idx, f"compat shape {a.shape} vs scipy {b.shape}", **cfg)
+    # nearest midpoint ties are unspecified in scipy, but continuous random
+    # points never land on one; everything else must agree exactly
+    mism = ~((np.abs(a - b) <= 1e-10) | (np.isnan(a) & np.isnan(b)))
+    if np.any(mism):
+        d = float(np.nanmax(np.abs(a - b)))
+        _fail(idx, f"compat vs scipy: {int(mism.sum())} mismatches, "
+                   f"max abs {d:.3e}", **cfg)
+
+
 def run_round(rng: np.random.Generator, idx: int) -> None:
     _one_dim_round(rng, idx)
+    _compat_round(rng, idx)
     method = rng.choice(["linear", "cubic", "nearest"])
     max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
     ndims = int(rng.integers(1, max_nd + 1))
@@ -200,8 +252,33 @@ def run_round(rng: np.random.Generator, idx: int) -> None:
         _fail(idx, "JSON wire not byte-stable across a round-trip", **cfg)
     mv2 = np.asarray(m2.eval_unchecked(obs))
 
-    # layer 4: oracle (f64 only — the oracle computes in f64)
-    layers = {"interpn": top, "raw": out, "class": mv, "class-rt": mv2}
+    # layer 4: pytree interpolator lifted from the model (device-resident
+    # functional surface; round-3 addition)
+    from interpn_tpu.functional import JaxInterpolator
+
+    fv = np.asarray(JaxInterpolator.from_model(m)(obs))
+
+    # layer 5: stacked-table eval — channel 0 carries THIS round's table, so
+    # it must agree with every other layer; channel 1 is an independent
+    # table checked against its own one-shot interpn()
+    vals2 = rng.standard_normal(vals.size).astype(dtype)
+    stacked = np.asarray(
+        it.interpn_stack(obs, grids, np.stack([vals, vals2]),
+                         method=str(method),
+                         linearize_extrapolation=linearize)
+    )
+    ch1_ref = np.asarray(
+        it.interpn(obs, grids=grids, vals=vals2.reshape(dims),
+                   method=str(method), linearize_extrapolation=linearize)
+    )
+    scale1 = max(1.0, float(np.max(np.abs(ch1_ref))))
+    d1 = float(np.max(np.abs(stacked[1] - ch1_ref))) / scale1
+    if not (d1 < tol):
+        _fail(idx, f"stack ch1 vs interpn: rel {d1:.3e}", **cfg)
+
+    # layer 6: oracle (f64 only — the oracle computes in f64)
+    layers = {"interpn": top, "raw": out, "class": mv, "class-rt": mv2,
+              "functional": fv, "stack-ch0": stacked[0]}
     if dtype == np.float64:
         orc = ORACLE[(str(method), regular)]
         pts = lambda i: [o[i] for o in obs]

@@ -127,13 +127,52 @@ def test_constructor_error_messages_match_scipy(bad):
     assert str(e_ours.value) == str(e_theirs.value)
 
 
-@pytest.mark.parametrize("method", ["slinear", "quintic", "pchip"])
+@pytest.mark.parametrize("method", ["quintic", "pchip"])
 def test_scipy_only_methods_raise(method):
     """Methods scipy defines but this adapter deliberately does not."""
     with pytest.raises(ValueError, match="is not defined"):
         compat.RegularGridInterpolator(
             (np.arange(8.0),), np.arange(8.0), method=method
         )
+
+
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_slinear_matches_scipy(ndims):
+    """slinear (degree-1 tensor spline) is the same piecewise-linear
+    function as multilinear interpolation; scipy's two methods agree to
+    1 ulp (probed), so the adapter routes it to the linear engine."""
+    rng = np.random.default_rng(77 + ndims)
+    grids, vals = _make(rng, ndims)
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    # span past the edges: scipy extrapolates the degree-1 spline
+    # linearly, exactly like the linear engine
+    xi = rng.uniform(lo - 0.3, hi + 0.3, (200, ndims))
+
+    ours = compat.RegularGridInterpolator(
+        grids, vals, method="slinear", bounds_error=False, fill_value=None
+    )
+    theirs = si.RegularGridInterpolator(
+        grids, vals, method="slinear", bounds_error=False, fill_value=None
+    )
+    np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-11, atol=1e-11)
+    # per-call override on a linear-constructed interpolator also works
+    base = compat.RegularGridInterpolator(
+        grids, vals, bounds_error=False, fill_value=None
+    )
+    np.testing.assert_allclose(
+        base(xi, method="slinear"), theirs(xi), rtol=1e-11, atol=1e-11
+    )
+
+
+def test_slinear_min_points_message_matches_scipy():
+    g = (np.arange(1.0),)
+    v = np.zeros(1)
+    with pytest.raises(ValueError) as e_theirs:
+        si.RegularGridInterpolator(g, v, method="slinear")
+    with pytest.raises(ValueError) as e_ours:
+        compat.RegularGridInterpolator(g, v, method="slinear")
+    assert str(e_ours.value) == str(e_theirs.value)
 
 
 def test_xi_shapes_match_scipy():
