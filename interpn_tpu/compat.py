@@ -25,11 +25,13 @@ API semantics mirrored from scipy 1.17 (probed, not copied):
 
 Deliberate deviations (documented, not accidental):
 
-* Supported methods are ``linear``, ``nearest``, ``cubic``, and
-  ``slinear``.  A degree-1 tensor spline is the same piecewise-linear
+* Supported methods are ``linear``, ``nearest``, ``cubic``, ``slinear``,
+  and ``pchip``.  A degree-1 tensor spline is the same piecewise-linear
   function multilinear interpolation evaluates (probed: scipy's two
   methods agree to 1 ulp), so ``slinear`` routes to the linear engine;
-  scipy's ``quintic``/``pchip`` raise ``ValueError``.
+  ``pchip`` runs this package's monotone-cubic gather engine
+  (:mod:`interpn_tpu.ops.pchip`, scipy-matched slopes/recursion order,
+  agreement ~1e-13); scipy's ``quintic`` raises ``ValueError``.
 * ``cubic`` is the reference library's local Hermite scheme (centered
   differences, natural boundary, ``src/multicubic/mod.rs:68-117``), not
   scipy's global tensor spline: values agree to interpolation error, not
@@ -50,7 +52,24 @@ import numpy as np
 
 __all__ = ["RegularGridInterpolator", "interpn"]
 
-_METHODS = ("linear", "nearest", "cubic", "slinear")
+_METHODS = ("linear", "nearest", "cubic", "slinear", "pchip")
+
+_PCHIP_CORE = None
+
+
+def _pchip_core():
+    """One jitted pchip evaluator shared by every adapter instance (jax
+    caches per grid/batch shape under it, so repeat calls don't retrace)."""
+    global _PCHIP_CORE
+    if _PCHIP_CORE is None:
+        import jax
+
+        from .ops import pchip_rectilinear
+
+        _PCHIP_CORE = jax.jit(
+            lambda grids, vals, obs: pchip_rectilinear(grids, vals, obs)
+        )
+    return _PCHIP_CORE
 
 
 def _as_points(points, values):
@@ -94,7 +113,7 @@ def _as_points(points, values):
 def _check_method(method, grids, values):
     if method not in _METHODS:
         raise ValueError(f"Method '{method}' is not defined")
-    min_pts = {"cubic": 4, "slinear": 2}.get(method)
+    min_pts = {"cubic": 4, "slinear": 2, "pchip": 4}.get(method)
     if min_pts is not None:
         for i, g in enumerate(grids):
             if g.size < min_pts:
@@ -239,6 +258,22 @@ class RegularGridInterpolator:
 
         obs = [np.ascontiguousarray(flat[:, i]) for i in range(ndim)]
         trailing = self.values.shape[ndim:]
+        if method == "pchip":
+            # monotone cubic has no pydantic model (no reference analogue);
+            # evaluate through the ops engine directly, channels looped
+            vt = self.values.reshape(np.prod(self.values.shape[:ndim]), -1)
+            cols = [
+                np.asarray(_pchip_core()(list(self.grid), vt[:, c], obs))
+                for c in range(vt.shape[1])
+            ]
+            res = np.stack(cols, axis=0)  # (nch, npts)
+            if self.fill_value is not None and oob_mask.any():
+                res[:, oob_mask] = self.fill_value
+            if nan_mask.any():
+                res[:, nan_mask] = np.nan
+            if trailing:
+                return res.T.reshape(out_shape + trailing)
+            return res[0].reshape(out_shape)
         if trailing:
             from . import interpn_stack
 

@@ -17,6 +17,7 @@ from .dispatch import (
     nearest_rectilinear,
     nearest_regular,
 )
+from .pchip import pchip_rectilinear, pchip_regular
 from .stack import (
     cubic_rectilinear_stack,
     cubic_regular_stack,
@@ -35,6 +36,8 @@ __all__ = [
     "linear_regular",
     "nearest_rectilinear",
     "nearest_regular",
+    "pchip_rectilinear",
+    "pchip_regular",
     "cubic_rectilinear_stack",
     "cubic_regular_stack",
     "linear_rectilinear_stack",
