@@ -33,10 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from .ops import dispatch as _dispatch
+from .ops import pchip as _pchip
 
 __all__ = ["JaxInterpolator"]
 
-_METHODS = ("linear", "cubic", "nearest")
+_METHODS = ("linear", "cubic", "nearest", "pchip")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -158,6 +159,12 @@ class JaxInterpolator:
                     self.dims, starts, steps, self.vals, flat,
                     self.linearize_extrapolation, vals_finite=vals_finite,
                 )
+            elif self.method == "pchip":
+                # nonlinear in the data: always the gather tree, no
+                # dispatch alternatives exist (ops/pchip.py)
+                out = _pchip.pchip_regular(
+                    self.dims, starts, steps, self.vals, flat
+                )
             else:
                 out = _dispatch.nearest_regular(
                     self.dims, starts, steps, self.vals, flat,
@@ -174,6 +181,8 @@ class JaxInterpolator:
                     grids, self.vals, flat, self.linearize_extrapolation,
                     vals_finite=vals_finite,
                 )
+            elif self.method == "pchip":
+                out = _pchip.pchip_rectilinear(grids, self.vals, flat)
             else:
                 out = _dispatch.nearest_rectilinear(
                     grids, self.vals, flat, vals_finite=vals_finite

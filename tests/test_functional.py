@@ -208,3 +208,29 @@ def test_errors():
         itp([np.zeros(3)])
     with pytest.raises(AssertionError, match="Dimension mismatch"):
         itp([np.zeros(3), np.zeros(4)])
+
+
+def test_pchip_method_matches_ops_and_transforms():
+    """method='pchip' routes to ops.pchip (scipy-semantics monotone cubic)
+    and composes with jit and vmap-over-tables like the other methods."""
+    import jax
+
+    from interpn_tpu import ops
+
+    rng = np.random.default_rng(23)
+    grids = [np.sort(rng.uniform(0.0, 1.0, n)) for n in (6, 7)]
+    vals = rng.random(42)
+    itp = JaxInterpolator.rectilinear(grids, vals, method="pchip")
+    obs = [rng.uniform(-0.1, 1.1, 50) for _ in range(2)]
+    ref = np.asarray(ops.pchip_rectilinear(grids, vals, obs))
+    np.testing.assert_allclose(np.asarray(itp(obs)), ref, rtol=1e-13)
+    # jit with the interpolator as a pytree argument
+    jitted = jax.jit(lambda i, o: i(o))
+    np.testing.assert_allclose(np.asarray(jitted(itp, obs)), ref, rtol=1e-13)
+    # vmap over a batch of tables sharing the grid
+    stack = np.stack([vals, vals[::-1].copy()])
+    batched = jax.vmap(lambda v, o: JaxInterpolator.rectilinear(
+        grids, v, method="pchip")(o), in_axes=(0, None))(stack, obs)
+    np.testing.assert_allclose(np.asarray(batched[0]), ref, rtol=1e-13)
+    ref1 = np.asarray(ops.pchip_rectilinear(grids, stack[1], obs))
+    np.testing.assert_allclose(np.asarray(batched[1]), ref1, rtol=1e-13)
