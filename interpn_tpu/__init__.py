@@ -65,7 +65,7 @@ def interpn(
     grids: Sequence[NDArray],
     vals: NDArray,
     *,
-    method: Literal["linear", "cubic", "nearest"] = "linear",
+    method: Literal["linear", "cubic", "nearest", "pchip"] = "linear",
     out: NDArray | None = None,
     linearize_extrapolation: bool = True,
     assume_regular: bool = False,
@@ -83,7 +83,10 @@ def interpn(
         obs: Observation coordinates, one array per dimension.
         grids: Grid axis coordinates, one array per dimension.
         vals: Values defined on the full tensor-product grid (C order).
-        method: "linear", "cubic", or "nearest".
+        method: "linear", "cubic", "nearest", or "pchip" (monotone cubic,
+            scipy-pchip semantics — TPU-native extension with no reference
+            analogue; requires >= 4 points per axis and ignores
+            `linearize_extrapolation`).
         out: Optional preallocated output array.
         linearize_extrapolation: Cubic extrapolation falls back to linear.
         assume_regular: Skip the O(gridsize) regularity check.
@@ -136,6 +139,37 @@ def interpn(
                 raw.check_bounds_rectilinear_f64(grids, obs, bounds_atol, outb)
         if any(outb):
             raise ValueError("Observation points violate interpolator bounds")
+
+    if method == "pchip":
+        # TPU-native extension (no reference analogue): monotone cubic with
+        # scipy-pchip semantics, held to the same input contracts as the
+        # reference methods (raw-layer validators + dtype strictness).
+        from .ops import pchip as _pchip
+
+        if is_regular:
+            arrays = [("starts", starts), ("steps", steps), ("vals", vals)]
+        else:
+            arrays = [(f"grids[{k}]", g) for k, g in enumerate(grids)]
+            arrays.append(("vals", vals))
+        raw._check_eval_dtypes(dtype, out, obs, arrays)
+        if is_regular:
+            dims_t = tuple(int(d) for d in dims)
+            raw._validate_regular(
+                dims_t, starts, steps, vals, obs, out,
+                min_size=4, size_msg="All grids must have at least four entries",
+            )
+            res = _pchip.jitted("regular")(dims_t, starts, steps, vals, obs)
+        else:
+            raw._validate_rectilinear(
+                grids, vals, obs, out,
+                min_size=4, size_msg="All grids must have at least 4 entries",
+            )
+            res = _pchip.jitted("rectilinear")(grids, vals, obs)
+        np.copyto(out, np.asarray(res))
+        if not out_is_view:
+            np.copyto(user_out, out.reshape(outshape))
+            return user_out
+        return out.reshape(outshape)
 
     match (dtype, is_regular, method):
         case (np.float32, True, "linear"):

@@ -54,22 +54,12 @@ __all__ = ["RegularGridInterpolator", "interpn"]
 
 _METHODS = ("linear", "nearest", "cubic", "slinear", "pchip")
 
-_PCHIP_CORE = None
-
-
 def _pchip_core():
-    """One jitted pchip evaluator shared by every adapter instance (jax
-    caches per grid/batch shape under it, so repeat calls don't retrace)."""
-    global _PCHIP_CORE
-    if _PCHIP_CORE is None:
-        import jax
+    """The shared jitted pchip evaluator (jax caches per grid/batch shape
+    under it, so repeat calls don't retrace)."""
+    from .ops import pchip
 
-        from .ops import pchip_rectilinear
-
-        _PCHIP_CORE = jax.jit(
-            lambda grids, vals, obs: pchip_rectilinear(grids, vals, obs)
-        )
-    return _PCHIP_CORE
+    return pchip.jitted("rectilinear")
 
 
 def _as_points(points, values):

@@ -221,3 +221,22 @@ def _pchip_rectilinear_impl(grids, vals, obs):
             (g[0], g[1], g[2], g[3]), x, gct, cl.low, cl.high
         )
     return c[0]
+
+
+_JIT_CACHE: dict = {}
+
+
+def jitted(kind: str):
+    """Lazily-jitted evaluator for one grid kind, shared across callers
+    (`interpn(method="pchip")`, the scipy adapter): jax caches compiled
+    executables per grid/batch shape under the one traced function."""
+    fn = _JIT_CACHE.get(kind)
+    if fn is None:
+        import jax
+
+        if kind == "regular":
+            fn = jax.jit(pchip_regular, static_argnums=0)
+        else:
+            fn = jax.jit(pchip_rectilinear)
+        _JIT_CACHE[kind] = fn
+    return fn

@@ -214,3 +214,54 @@ def test_compat_pchip_per_call_and_interpn():
     a = compat.interpn((gx, gy), v, xi, method="pchip")
     b = si.interpn((gx, gy), v, xi, method="pchip")
     assert _rel(a, b) < 1e-11
+
+
+def test_interpn_pchip_extension():
+    """Top-level interpn() accepts method='pchip' with the raw layer's
+    input contracts (grid floor, dtype strictness, bounds check, out=)."""
+    import interpn_tpu as it
+
+    rng = np.random.default_rng(21)
+    # regular grid, autodetected
+    x = np.linspace(0.0, 1.0, 6)
+    y = np.linspace(0.0, 2.0, 5)
+    v = rng.random((6, 5))
+    obs = [rng.uniform(-0.2, 1.2, 100), rng.uniform(-0.2, 2.2, 100)]
+    got = it.interpn(obs, grids=[x, y], vals=v, method="pchip")
+    ref = si.RegularGridInterpolator(
+        (x, y), v, method="pchip", bounds_error=False, fill_value=None
+    )(np.stack(obs, -1))
+    assert _rel(got, ref) < 1e-12
+
+    # rectilinear with a preallocated out buffer
+    gr = [_rect_grid(rng, 6), _rect_grid(rng, 7)]
+    v2 = rng.random((6, 7))
+    o2 = [rng.uniform(0.0, 1.0, 50), rng.uniform(0.0, 1.0, 50)]
+    buf = np.zeros(50)
+    it.interpn(o2, grids=gr, vals=v2, method="pchip", out=buf)
+    ref2 = si.RegularGridInterpolator(
+        tuple(gr), v2, method="pchip", bounds_error=False, fill_value=None
+    )(np.stack(o2, -1))
+    assert _rel(buf, ref2) < 1e-12
+
+    # contracts: grid floor, dtype strictness, bounds ValueError
+    with pytest.raises(AssertionError, match="at least four entries"):
+        it.interpn([np.zeros(3)], grids=[np.arange(3.0)], vals=np.zeros(3),
+                    method="pchip")
+    with pytest.raises(AssertionError, match="at least 4 entries"):
+        it.interpn([np.zeros(3)], grids=[np.arange(3.0) ** 1.5],
+                    vals=np.zeros(3), method="pchip")
+    with pytest.raises(TypeError, match="expected a float64 array"):
+        it.interpn([np.zeros(3, np.float32)], grids=[np.arange(5.0)],
+                    vals=np.zeros(5), method="pchip")
+    with pytest.raises(ValueError, match="violate interpolator bounds"):
+        it.interpn([np.array([5.0]), np.array([0.5])], grids=gr, vals=v2,
+                    method="pchip", check_bounds=True)
+    # f32 runs and returns f32
+    got32 = it.interpn(
+        [o.astype(np.float32) for o in o2],
+        grids=[g.astype(np.float32) for g in gr],
+        vals=v2.astype(np.float32), method="pchip",
+    )
+    assert got32.dtype == np.float32
+    assert _rel(got32.astype(np.float64), ref2) < 1e-4
