@@ -65,7 +65,9 @@ def interpn(
     grids: Sequence[NDArray],
     vals: NDArray,
     *,
-    method: Literal["linear", "cubic", "nearest", "pchip"] = "linear",
+    method: Literal[
+        "linear", "cubic", "nearest", "pchip", "cubic_spline", "quintic"
+    ] = "linear",
     out: NDArray | None = None,
     linearize_extrapolation: bool = True,
     assume_regular: bool = False,
@@ -83,10 +85,14 @@ def interpn(
         obs: Observation coordinates, one array per dimension.
         grids: Grid axis coordinates, one array per dimension.
         vals: Values defined on the full tensor-product grid (C order).
-        method: "linear", "cubic", "nearest", or "pchip" (monotone cubic,
-            scipy-pchip semantics — TPU-native extension with no reference
-            analogue; requires >= 4 points per axis and ignores
-            `linearize_extrapolation`).
+        method: "linear", "cubic", "nearest" (reference parity), or one of
+            the TPU-native extensions with no reference analogue: "pchip"
+            (monotone cubic, scipy-pchip semantics, >= 4 points per axis),
+            "cubic_spline" / "quintic" (global not-a-knot tensor-product
+            splines of degree 3/5, scipy RGI cubic/quintic semantics,
+            >= 4/6 points per axis — `ops.bspline`, coefficients solved
+            exactly on the host per call). The extensions ignore
+            `linearize_extrapolation`.
         out: Optional preallocated output array.
         linearize_extrapolation: Cubic extrapolation falls back to linear.
         assume_regular: Skip the O(gridsize) regularity check.
@@ -165,6 +171,33 @@ def interpn(
                 min_size=4, size_msg="All grids must have at least 4 entries",
             )
             res = _pchip.jitted("rectilinear")(grids, vals, obs)
+        np.copyto(out, np.asarray(res))
+        if not out_is_view:
+            np.copyto(user_out, out.reshape(outshape))
+            return user_out
+        return out.reshape(outshape)
+
+    if method in ("cubic_spline", "quintic"):
+        # TPU-native extension (no reference analogue): global not-a-knot
+        # tensor-product splines with scipy RGI cubic/quintic semantics.
+        # Coefficients are solved exactly on the host (tables are concrete
+        # by the raw-layer contract); evaluation runs in the table dtype.
+        from .ops import bspline as _bspline
+
+        k = 3 if method == "cubic_spline" else 5
+        arrays = [(f"grids[{i}]", g) for i, g in enumerate(grids)]
+        arrays.append(("vals", vals))
+        raw._check_eval_dtypes(dtype, out, obs, arrays)
+        raw._validate_rectilinear(
+            grids, vals, obs, out,
+            min_size=k + 1,
+            size_msg=f"All grids must have at least {k + 1} entries",
+        )
+        knots, coeffs = _bspline.prep_bspline(
+            grids, vals.astype(np.float64, copy=False), k
+        )
+        knots = [t.astype(dtype, copy=False) for t in knots]
+        res = _bspline.jitted_eval()(knots, coeffs.astype(dtype, copy=False), obs, k)
         np.copyto(out, np.asarray(res))
         if not out_is_view:
             np.copyto(user_out, out.reshape(outshape))

@@ -23,22 +23,42 @@ API semantics mirrored from scipy 1.17 (probed, not copied):
   ``fill_value=None`` extrapolates.
 * Error messages match scipy's strings.
 
+Every scipy RGI method is supported: ``linear``, ``nearest``, ``slinear``,
+``cubic``, ``quintic``, and ``pchip``.
+
+* A degree-1 tensor spline is the same piecewise-linear function
+  multilinear interpolation evaluates (probed: scipy's two methods agree
+  to 1 ulp), so ``slinear`` routes to the linear engine.
+* ``cubic`` / ``quintic`` are the global not-a-knot tensor-product splines
+  (:mod:`interpn_tpu.ops.bspline`).  The coefficients come from exact
+  per-axis direct solves, so this adapter matches the mathematical
+  interpolant (scipy's own recursive 1-d ``make_interp_spline`` definition)
+  to ~1e-14 — scipy 1.17's RGI solves the N-d collocation system with an
+  iterative solver (``gcrotmk``) and deviates from its own definition by
+  up to ~1e-4 in 3D (and can fail to converge outright, raising
+  ``ValueError: solver ... returns info = 1000``); agreement with scipy
+  RGI output is therefore bounded by scipy's solver tolerance, not ours.
+* ``pchip`` runs this package's monotone-cubic gather engine
+  (:mod:`interpn_tpu.ops.pchip`, scipy-matched slopes/recursion order,
+  agreement ~1e-13).
+
 Deliberate deviations (documented, not accidental):
 
-* Supported methods are ``linear``, ``nearest``, ``cubic``, ``slinear``,
-  and ``pchip``.  A degree-1 tensor spline is the same piecewise-linear
-  function multilinear interpolation evaluates (probed: scipy's two
-  methods agree to 1 ulp), so ``slinear`` routes to the linear engine;
-  ``pchip`` runs this package's monotone-cubic gather engine
-  (:mod:`interpn_tpu.ops.pchip`, scipy-matched slopes/recursion order,
-  agreement ~1e-13); scipy's ``quintic`` raises ``ValueError``.
-* ``cubic`` is the reference library's local Hermite scheme (centered
-  differences, natural boundary, ``src/multicubic/mod.rs:68-117``), not
-  scipy's global tensor spline: values agree to interpolation error, not
-  bitwise.  ``linearize_extrapolation`` is exposed as an extension kwarg.
+* Extension method ``hermite``: the reference library's local cubic
+  Hermite scheme (centered differences, natural boundary,
+  ``src/multicubic/mod.rs:68-117``) — scipy has no equivalent.  The
+  ``linearize_extrapolation`` extension kwarg applies to this method only
+  (it selects the reference's linearized out-of-bounds mode,
+  ``src/multicubic/regular.rs:553-561``) and is ignored by the spline
+  methods.
 * Nearest midpoint tie-breaking follows the reference (``dt <= 0.5`` takes
   the lower node, ``src/nearest/regular.rs:283-287``); scipy documents its
   own tie behavior as unspecified.
+* NaN coordinates always produce NaN output (scipy's documented rule).
+  scipy's own ND ``pchip`` implementation instead RAISES on a NaN
+  coordinate when ``ndim >= 2`` (the NaN poisons the next axis's 1-d fit
+  data: ``ValueError: `y` must contain only finite values``); this
+  adapter applies the documented rule uniformly.
 * Complex values are unsupported.
 
 Computation runs in float64 (matching scipy's promotion — a float32
@@ -52,7 +72,8 @@ import numpy as np
 
 __all__ = ["RegularGridInterpolator", "interpn"]
 
-_METHODS = ("linear", "nearest", "cubic", "slinear", "pchip")
+_METHODS = ("linear", "nearest", "cubic", "slinear", "pchip", "quintic", "hermite")
+_SPLINE_DEGREE = {"cubic": 3, "quintic": 5}
 
 def _pchip_core():
     """The shared jitted pchip evaluator (jax caches per grid/batch shape
@@ -60,6 +81,13 @@ def _pchip_core():
     from .ops import pchip
 
     return pchip.jitted("rectilinear")
+
+
+def _bspline_core():
+    """The shared jitted B-spline evaluator (degree is a static arg)."""
+    from .ops import bspline
+
+    return bspline.jitted_eval()
 
 
 def _as_points(points, values):
@@ -103,7 +131,9 @@ def _as_points(points, values):
 def _check_method(method, grids, values):
     if method not in _METHODS:
         raise ValueError(f"Method '{method}' is not defined")
-    min_pts = {"cubic": 4, "slinear": 2, "pchip": 4}.get(method)
+    min_pts = {
+        "cubic": 4, "slinear": 2, "pchip": 4, "quintic": 6, "hermite": 4
+    }.get(method)
     if min_pts is not None:
         for i, g in enumerate(grids):
             if g.size < min_pts:
@@ -123,9 +153,10 @@ class RegularGridInterpolator:
     follow ``scipy.interpolate.RegularGridInterpolator``; evaluation runs
     on this package's engines (Pallas/MXU on TPU, C++/XLA on CPU).
 
-    Extension kwarg: ``linearize_extrapolation`` (cubic only, default
-    False) switches out-of-bounds cubic evaluation to the reference's
-    linearized mode (``src/multicubic/regular.rs:553-561``).
+    Extension method ``hermite`` selects the reference library's local
+    cubic Hermite scheme; the ``linearize_extrapolation`` kwarg (default
+    False) applies to it and switches out-of-bounds evaluation to the
+    reference's linearized mode (``src/multicubic/regular.rs:553-561``).
     """
 
     def __init__(
@@ -156,6 +187,9 @@ class RegularGridInterpolator:
         self.linearize_extrapolation = linearize_extrapolation
         self._ndim = len(grids)
         self._models: dict[str, object] = {}
+        # per-degree (knots, coefficients) for the global spline methods;
+        # the collocation solves run once per (table, degree)
+        self._splines: dict[int, tuple] = {}
         # scipy stores which input axes arrived descending; we re-derive
         # nothing from it, but the attribute name is part of the probed
         # public surface some callers touch.
@@ -201,7 +235,7 @@ class RegularGridInterpolator:
             grids = list(self.grid)
             if method == "linear":
                 m = MultilinearRectilinear.new(grids, vals)
-            elif method == "cubic":
+            elif method == "hermite":
                 m = MulticubicRectilinear.new(
                     grids, vals, linearize_extrapolation=self.linearize_extrapolation
                 )
@@ -209,6 +243,21 @@ class RegularGridInterpolator:
                 m = NearestRectilinear.new(grids, vals)
             self._models[method] = m
         return m
+
+    def _spline(self, k):
+        """Cached (knots, flat coefficients with a trailing channel axis)
+        for degree-k tensor-product spline evaluation."""
+        sp = self._splines.get(k)
+        if sp is None:
+            from .ops import bspline
+
+            ndim = self._ndim
+            vt = self.values.reshape(
+                int(np.prod(self.values.shape[:ndim])), -1
+            )
+            sp = bspline.prep_bspline(list(self.grid), vt, k)
+            self._splines[k] = sp
+        return sp
 
     # -- evaluation ----------------------------------------------------
     def __call__(self, xi, method: str | None = None):
@@ -248,14 +297,25 @@ class RegularGridInterpolator:
 
         obs = [np.ascontiguousarray(flat[:, i]) for i in range(ndim)]
         trailing = self.values.shape[ndim:]
-        if method == "pchip":
-            # monotone cubic has no pydantic model (no reference analogue);
-            # evaluate through the ops engine directly, channels looped
+        if method in ("pchip", "cubic", "quintic"):
+            # no pydantic model for these (no reference analogue); evaluate
+            # through the ops engines directly, channels looped
             vt = self.values.reshape(np.prod(self.values.shape[:ndim]), -1)
-            cols = [
-                np.asarray(_pchip_core()(list(self.grid), vt[:, c], obs))
-                for c in range(vt.shape[1])
-            ]
+            if method == "pchip":
+                cols = [
+                    np.asarray(_pchip_core()(list(self.grid), vt[:, c], obs))
+                    for c in range(vt.shape[1])
+                ]
+            else:
+                k = _SPLINE_DEGREE[method]
+                knots, coeffs = self._spline(k)
+                core = _bspline_core()
+                cols = [
+                    np.asarray(
+                        core(knots, np.ascontiguousarray(coeffs[:, c]), obs, k)
+                    )
+                    for c in range(coeffs.shape[1])
+                ]
             res = np.stack(cols, axis=0)  # (nch, npts)
             if self.fill_value is not None and oob_mask.any():
                 res[:, oob_mask] = self.fill_value
@@ -276,7 +336,8 @@ class RegularGridInterpolator:
                 obs,
                 list(self.grid),
                 vt,
-                method=method,
+                # the stack engine's "cubic" is the reference Hermite scheme
+                method="cubic" if method == "hermite" else method,
                 linearize_extrapolation=self.linearize_extrapolation,
             )
             res = np.array(res)  # (nch, npts); copy — jax buffers are read-only

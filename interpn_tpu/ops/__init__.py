@@ -9,6 +9,7 @@ pydantic classes.
 """
 
 from .bounds import check_bounds_rectilinear, check_bounds_regular
+from .bspline import bspline_eval, prep_bspline
 from .dispatch import (
     cubic_rectilinear,
     cubic_regular,
@@ -36,8 +37,10 @@ __all__ = [
     "linear_regular",
     "nearest_rectilinear",
     "nearest_regular",
+    "bspline_eval",
     "pchip_rectilinear",
     "pchip_regular",
+    "prep_bspline",
     "cubic_rectilinear_stack",
     "cubic_regular_stack",
     "linear_rectilinear_stack",

@@ -49,10 +49,11 @@ def corner_offsets(dims: tuple[int, ...], footprint: int) -> np.ndarray:
     n_verts = footprint**ndims
     verts = np.arange(n_verts, dtype=np.int64)
     out = np.zeros(n_verts, dtype=np.int64)
-    bits = int(footprint).bit_length() - 1  # 1 for linear, 2 for cubic
-    mask = footprint - 1
     for k in range(ndims):
-        digit = (verts >> (bits * k)) & mask
+        # true base-`footprint` digit k (reduces to the reference's bit/
+        # bit-pair shifts for footprints 2 and 4, and stays correct for
+        # non-power-of-two stencils like the quintic spline's 6)
+        digit = (verts // footprint**k) % footprint
         out += digit * strides[k]
     return out.astype(np.int32)
 

@@ -168,7 +168,20 @@ def _compat_round(rng: np.random.Generator, idx: int) -> None:
     theirs = si.RegularGridInterpolator(
         tuple(grids), vals, method=method, bounds_error=False, fill_value=fill
     )
-    a, b = np.asarray(ours(xi)), np.asarray(theirs(xi))
+    a = np.asarray(ours(xi))
+    nan_rows = np.isnan(xi).any(axis=1)
+    if method == "pchip" and ndims > 1 and nan_rows.any():
+        # scipy's recursive ND pchip RAISES when a NaN coordinate lands in
+        # any axis fitted before the last one (the NaN poisons the next
+        # axis's fit data); this adapter returns NaN output per scipy's
+        # documented NaN rule — a deliberate deviation. Pin our NaN-row
+        # behavior and compare the finite rows only.
+        if not np.all(np.isnan(np.asarray(a)[nan_rows])):
+            _fail(idx, "compat pchip: NaN coordinate row not NaN", **cfg)
+        a, xi = a[~nan_rows], xi[~nan_rows]
+        if xi.shape[0] == 0:
+            return
+    b = np.asarray(theirs(xi))
     if a.shape != b.shape:
         _fail(idx, f"compat shape {a.shape} vs scipy {b.shape}", **cfg)
     # nearest midpoint ties are unspecified in scipy, but continuous random
@@ -184,9 +197,59 @@ def _compat_round(rng: np.random.Generator, idx: int) -> None:
                    f"max abs {d:.3e}", **cfg)
 
 
+def _bspline_round(rng: np.random.Generator, idx: int) -> None:
+    """Global-spline leg: compat cubic/quintic vs the exact tensor-product
+    interpolant (recursive 1-d make_interp_spline fits — scipy's own
+    DEFINITION; scipy RGI's iterative N-d solver is too loose to be an
+    oracle and fails to converge on many of these shapes)."""
+    import scipy.interpolate as si
+
+    from interpn_tpu import compat
+
+    k = int(rng.choice([3, 5]))
+    method = {3: "cubic", 5: "quintic"}[k]
+    ndims = int(rng.integers(1, 4))
+    dims = [int(rng.integers(k + 1, k + 4)) for _ in range(ndims)]
+    grids = []
+    for d in dims:
+        g = np.sort(rng.uniform(-3, 3, d))
+        while np.any(np.diff(g) <= 1e-2):
+            g = np.sort(rng.uniform(-3, 3, d))
+        grids.append(g)
+    vals = rng.standard_normal(tuple(dims))
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    n = int(rng.integers(1, 24))
+    span = hi - lo
+    xi = rng.uniform(lo - 0.3 * span, hi + 0.3 * span, (n, ndims))
+    cfg = dict(leg="bspline", method=method, ndims=ndims, dims=dims, n=n)
+
+    a = np.asarray(
+        compat.RegularGridInterpolator(
+            tuple(grids), vals, method=method, bounds_error=False,
+            fill_value=None,
+        )(xi)
+    )
+    b = np.empty(n)
+    for q, pt in enumerate(xi):
+        data = vals
+        for ax in range(ndims - 1, -1, -1):
+            flat = np.moveaxis(data, ax, -1).reshape(-1, data.shape[ax])
+            red = np.array(
+                [si.make_interp_spline(grids[ax], row, k=k)(pt[ax]) for row in flat]
+            )
+            data = red.reshape(data.shape[:ax] + data.shape[ax + 1 :])
+        b[q] = data
+    mism = ~(np.abs(a - b) <= 1e-9 * np.maximum(1.0, np.abs(b)))
+    if np.any(mism):
+        _fail(idx, f"bspline vs exact fit: {int(mism.sum())} mismatches, "
+                   f"max abs {float(np.max(np.abs(a - b))):.3e}", **cfg)
+
+
 def run_round(rng: np.random.Generator, idx: int) -> None:
     _one_dim_round(rng, idx)
     _compat_round(rng, idx)
+    _bspline_round(rng, idx)
     method = rng.choice(["linear", "cubic", "nearest"])
     max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
     ndims = int(rng.integers(1, max_nd + 1))

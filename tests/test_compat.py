@@ -127,12 +127,21 @@ def test_constructor_error_messages_match_scipy(bad):
     assert str(e_ours.value) == str(e_theirs.value)
 
 
-def test_scipy_only_methods_raise():
-    """Methods scipy defines but this adapter deliberately does not."""
+def test_undefined_method_raises_and_quintic_is_supported():
+    """Every scipy RGI method is now supported; unknown names still raise
+    scipy's exact message, and the hermite extension is accepted."""
     with pytest.raises(ValueError, match="is not defined"):
         compat.RegularGridInterpolator(
-            (np.arange(8.0),), np.arange(8.0), method="quintic"
+            (np.arange(8.0),), np.arange(8.0), method="makima"
         )
+    rgi = compat.RegularGridInterpolator(
+        (np.arange(8.0),), np.arange(8.0) ** 2, method="quintic",
+        bounds_error=False, fill_value=None,
+    )
+    np.testing.assert_allclose(rgi(np.array([2.5, 9.0])), [6.25, 81.0])
+    compat.RegularGridInterpolator(
+        (np.arange(8.0),), np.arange(8.0), method="hermite"
+    )
 
 
 @pytest.mark.parametrize("ndims", [1, 2, 3])
@@ -234,24 +243,28 @@ def test_trailing_value_dims_match_scipy():
     np.testing.assert_allclose(of(xib), sf(xib), rtol=1e-12, atol=1e-12)
 
 
-def test_cubic_consistent_with_model_and_exact_on_quadratic():
+@pytest.mark.parametrize("method", ["cubic", "hermite"])
+def test_cubic_family_exact_on_quadratic(method):
+    """Both cubic schemes reproduce quadratics: the global not-a-knot
+    spline (scipy's `cubic`) by polynomial reproduction, the reference's
+    Hermite scheme (`hermite` extension) by its centered differences."""
     rng = np.random.default_rng(5)
     grids, _ = _make(rng, 2)
     gx, gy = np.meshgrid(*grids, indexing="ij")
     vals = gx**2 + 0.5 * gx * gy - gy**2
 
-    ours = compat.RegularGridInterpolator(grids, vals, method="cubic")
+    ours = compat.RegularGridInterpolator(grids, vals, method=method)
     xi = rng.uniform([g[0] for g in grids], [g[-1] for g in grids], (100, 2))
     out = ours(xi)
-    # cubic Hermite with centered differences reproduces quadratics
     expect = xi[:, 0] ** 2 + 0.5 * xi[:, 0] * xi[:, 1] - xi[:, 1] ** 2
     np.testing.assert_allclose(out, expect, rtol=1e-8, atol=1e-8)
-    # and agrees with the package's own model class bitwise
-    model = MulticubicRectilinear.new(
-        list(grids), vals.reshape(-1), linearize_extrapolation=False
-    )
-    direct = model.eval([np.ascontiguousarray(xi[:, i]) for i in range(2)])
-    np.testing.assert_array_equal(out, direct)
+    if method == "hermite":
+        # the extension method agrees with the package's own class bitwise
+        model = MulticubicRectilinear.new(
+            list(grids), vals.reshape(-1), linearize_extrapolation=False
+        )
+        direct = model.eval([np.ascontiguousarray(xi[:, i]) for i in range(2)])
+        np.testing.assert_array_equal(out, direct)
 
 
 def test_interpn_function_matches_scipy():

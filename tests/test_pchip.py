@@ -188,6 +188,26 @@ def test_compat_pchip_matches_scipy_full_semantics():
         assert np.all((rel <= 1e-11) | (np.isnan(a) & np.isnan(b)))
 
 
+def test_compat_pchip_nan_in_later_axis_deviation():
+    """scipy's recursive ND pchip raises when a NaN coordinate lands in an
+    axis fitted before the last (the NaN poisons the next 1-d fit's data);
+    this adapter applies scipy's documented NaN rule uniformly and returns
+    NaN output. Deliberate deviation — documented in compat's module
+    docstring; found by the surface fuzzer (seed 1313, round 11)."""
+    rng = np.random.default_rng(6)
+    g = (np.linspace(0, 1, 6), np.linspace(0, 1, 7))
+    v = rng.random((6, 7))
+    xi = np.array([[0.5, np.nan], [0.25, 0.75]])
+    with pytest.raises(ValueError, match="finite"):
+        si.RegularGridInterpolator(
+            g, v, method="pchip", bounds_error=False, fill_value=None
+        )(xi)
+    ours = compat.RegularGridInterpolator(
+        g, v, method="pchip", bounds_error=False, fill_value=None
+    )(xi)
+    assert np.isnan(ours[0]) and np.isfinite(ours[1])
+
+
 def test_compat_pchip_min_points_message_matches_scipy():
     g = (np.arange(3.0),)
     v = np.zeros(3)
