@@ -200,6 +200,49 @@ def run() -> int:
         failures += 0 if ok else 1
         print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
               f"{method:7s} {engine:11s} relerr {err:.2e}", flush=True)
+    # Global B-spline engine (scipy cubic/quintic): device evaluation vs
+    # a host-side contraction of the same exact coefficients (truth for
+    # the DEVICE path; the coefficients themselves are pinned against
+    # scipy's definition in tests/test_bspline.py).
+    from interpn_tpu.ops import bspline as bs
+    from interpn_tpu.utils import c_strides, corner_offsets
+
+    for k, dims in ((3, (9, 8, 10)), (3, (12, 11)), (5, (8, 9)), (5, (7, 7, 8))):
+        nd = len(dims)
+        grids_np = [np.sort(rng.uniform(0, 10, d)) + np.arange(d) * 1e-3
+                    for d in dims]
+        vals_np = rng.standard_normal(math.prod(dims))
+        knots, coeffs = bs.prep_bspline(grids_np, vals_np, k)
+        obs_np = [rng.uniform(g[0] - 1, g[-1] + 1, 4096) for g in grids_np]
+        out = np.asarray(bs.jitted_eval()(knots, coeffs, obs_np, k))
+        # host truth: numpy span/basis + dense stencil contraction
+        strides = c_strides(dims)
+        base = np.zeros(4096, dtype=np.int64)
+        wts = []
+        for ax in range(nd):
+            t = knots[ax]
+            span = np.clip(np.searchsorted(t, obs_np[ax], side="right") - 1,
+                           k, dims[ax] - 1)
+            base += (span - k) * strides[ax]
+            wts.append(np.stack([
+                bs._basis_row_np(t, int(s), float(x), k)
+                for s, x in zip(span, obs_np[ax])
+            ]))
+        offs = corner_offsets(dims, k + 1)
+        stencil = coeffs[base[:, None] + offs[None, :]]
+        # vertex lists carry dim 0 in the LOWEST digit: make axis 0's
+        # weights the fastest-varying factor of the Kronecker product
+        w = wts[nd - 1]
+        for ax in range(nd - 2, -1, -1):
+            w = (w[:, :, None] * wts[ax][:, None, :]).reshape(4096, -1)
+        ref = np.sum(stencil * w, axis=1)
+        scale = max(float(np.max(np.abs(ref))), 1e-30)
+        err = float(np.max(np.abs(out - ref))) / scale
+        ok = err <= 1e-12
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
+              f"bspline k={k}      relerr {err:.2e}", flush=True)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return failures
 
