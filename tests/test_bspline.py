@@ -62,6 +62,24 @@ def test_matches_exact_interpolant_including_extrapolation(ndims, k):
     np.testing.assert_allclose(ours, exact, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("k,ndims", [(5, 4), (3, 5)])
+def test_large_stencil_matrix_path(k, ndims):
+    """(k+1)^N > 256 switches to the batched-gather matrix tree (and the
+    chunked tail for flat query batches): 6^4 quintic and 4^5 cubic."""
+    rng = np.random.default_rng(40 + k)
+    dims = (k + 1,) * ndims
+    grids = [np.sort(rng.uniform(-1, 1, d)) for d in dims]
+    vals = rng.standard_normal(dims)
+    knots, coeffs = bspline.prep_bspline(grids, vals.ravel(), k)
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    xi = rng.uniform(lo - 0.1 * (hi - lo), hi + 0.1 * (hi - lo), (4, ndims))
+    obs = [np.ascontiguousarray(xi[:, i]) for i in range(ndims)]
+    ours = np.asarray(bspline.bspline_eval(knots, coeffs, obs, k))
+    exact = _recursive_fit(grids, vals, xi, k)
+    np.testing.assert_allclose(ours, exact, rtol=1e-9, atol=1e-9)
+
+
 @pytest.mark.parametrize("k", [3, 5])
 def test_exact_node_reproduction(k):
     rng = np.random.default_rng(7 + k)
