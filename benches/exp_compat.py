@@ -69,6 +69,16 @@ def run(ndims, nobs, method, rng):
     xi = rng.uniform(0.2, 9.8, (nobs, ndims))
 
     ours = TpuRGI(grids, vals, method=method, bounds_error=False, fill_value=None)
+    if method == "hermite":
+        # extension method (the reference's local cubic); scipy has no
+        # equivalent to race — record our throughput only
+        ours(xi)
+        t = best_time(lambda: ours(xi))
+        print(
+            f"{ndims}D {method:7s} n={nobs:>8d}: compat {nobs / t / 1e6:9.3f} Mq/s"
+            "  (extension; no scipy equivalent)"
+        )
+        return None
     try:
         theirs = SciRGI(grids, vals, method=method, bounds_error=False, fill_value=None)
     except ValueError as e:
@@ -83,8 +93,12 @@ def run(ndims, nobs, method, rng):
         return None
     ours(xi)  # warm (jit/native build)
     theirs(xi)
-    np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-6, atol=1e-6) \
-        if method != "cubic" else None
+    if method in ("cubic", "quintic"):
+        # agreement bounded by SCIPY's iterative collocation solve (~1e-4);
+        # this adapter's spline coefficients are exact (tests/test_bspline)
+        np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-3, atol=1e-3)
+    else:
+        np.testing.assert_allclose(ours(xi), theirs(xi), rtol=1e-6, atol=1e-6)
     t_ours = best_time(lambda: ours(xi))
     t_sci = best_time(lambda: theirs(xi))
     print(
@@ -97,8 +111,10 @@ def run(ndims, nobs, method, rng):
 rng = np.random.default_rng(0)
 speedups = []
 for ndims in (3, 4):
-    for method in ("linear", "nearest", "cubic"):
+    for method in ("linear", "nearest", "cubic", "hermite", "pchip", "quintic"):
         for nobs in (1, 1000, 1_000_000):
+            if method in ("hermite", "pchip", "quintic") and nobs == 1:
+                continue  # latency already characterized via linear/cubic
             s = run(ndims, nobs, method, rng)
             if s is not None:
                 speedups.append(s)
