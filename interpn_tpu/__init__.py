@@ -193,7 +193,7 @@ def interpn(
             min_size=k + 1,
             size_msg=f"All grids must have at least {k + 1} entries",
         )
-        knots, coeffs = _bspline.prep_bspline(
+        knots, coeffs = _bspline.prep_bspline_cached(
             grids, vals.astype(np.float64, copy=False), k
         )
         knots = [t.astype(dtype, copy=False) for t in knots]

@@ -171,6 +171,19 @@ class RegularGridInterpolator:
     ):
         grids, values = _as_points(points, values)
         _check_method(method, grids, values)
+        if linearize_extrapolation and method != "hermite":
+            # the kwarg selects the reference Hermite scheme's linearized
+            # out-of-bounds mode and has no effect on any other method —
+            # make migrated callers notice instead of silently ignoring it
+            import warnings
+
+            warnings.warn(
+                "linearize_extrapolation applies only to method='hermite' "
+                f"(the reference library's local cubic); it is ignored by "
+                f"method='{method}'",
+                UserWarning,
+                stacklevel=2,
+            )
         if fill_value is not None:
             try:
                 fill_value = float(fill_value)

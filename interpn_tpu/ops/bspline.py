@@ -81,21 +81,28 @@ def _basis_row_np(t: np.ndarray, span: int, x: float, k: int) -> np.ndarray:
 def _solve_axis(x: np.ndarray, t: np.ndarray, k: int, rhs: np.ndarray) -> np.ndarray:
     """Solve the square collocation system B(x_i) c = rhs along axis 0.
 
-    The matrix is banded (each site touches k+1 consecutive coefficients);
-    assembled dense here — grid axes are short (n^2 doubles at n=2000 is
-    32 MB and the solve is one-time host prep), guarded so a pathological
-    axis fails loudly instead of thrashing."""
+    The matrix is banded — site x_i touches the k+1 consecutive
+    coefficients [span_i - k, span_i] — so it is assembled and solved in
+    banded form (scipy ``solve_banded`` LU): O(n*k^2) time and O(n*k)
+    memory instead of the dense O(n^3)/O(n^2), which kept axes above a few
+    thousand points out of reach on a 1-core host."""
     n = x.size
-    if n > 4096:
-        raise ValueError(
-            f"spline table preparation supports up to 4096 points per axis, got {n}"
-        )
     spans = np.clip(np.searchsorted(t, x, side="right") - 1, k, n - 1)
-    A = np.zeros((n, n))
+    # band extents from the actual span pattern (not-a-knot end rows sit
+    # off the main diagonal by up to k)
+    idx = np.arange(n)
+    l = int(np.max(idx - (spans - k)))
+    u = int(np.max(spans - idx))
+    ab = np.zeros((l + u + 1, n))
     for i in range(n):
         s = int(spans[i])
-        A[i, s - k : s + 1] = _basis_row_np(t, s, float(x[i]), k)
-    return np.linalg.solve(A, rhs)
+        row = _basis_row_np(t, s, float(x[i]), k)
+        for r in range(k + 1):
+            j = s - k + r
+            ab[u + i - j, j] = row[r]
+    from scipy.linalg import solve_banded
+
+    return solve_banded((l, u), ab, rhs)
 
 
 def prep_bspline(grids, vals, k: int):
@@ -122,6 +129,44 @@ def prep_bspline(grids, vals, k: int):
         sol = _solve_axis(x, t, k, cm.reshape(x.size, -1))
         c = np.moveaxis(sol.reshape(cm.shape), 0, ax)
     return knots, np.ascontiguousarray(c.reshape(vals.shape))
+
+
+# Prepared-coefficient cache: one-shot callers (`interpn(method=...)`, the
+# scipy adapter) re-present the same concrete table every call; keying the
+# collocation solve by CONTENT (like ops.pallas_i8's prep caches) makes
+# repeat evaluation pay only the device eval. Host arrays hash; keys also
+# cover the grids, so reshaped/reused tables on different axes miss safely.
+_PREP_CACHE: dict = {}
+_PREP_ORDER: list = []
+_PREP_MAX = 8
+
+
+def _content_key(arrays, k: int):
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    parts = []
+    for a in arrays:
+        buf = a if a.flags.c_contiguous else np.ascontiguousarray(a)
+        h.update(buf)
+        parts.append((buf.dtype.str, buf.shape))
+    return (h.digest(), tuple(parts), k)
+
+
+def prep_bspline_cached(grids, vals, k: int):
+    """Content-cached :func:`prep_bspline` for host-resident inputs."""
+    grids = [np.asarray(g, dtype=np.float64) for g in grids]
+    vals = np.asarray(vals, dtype=np.float64)
+    key = _content_key(grids + [vals], k)
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    prep = prep_bspline(grids, vals, k)
+    _PREP_CACHE[key] = prep
+    _PREP_ORDER.append(key)
+    while len(_PREP_ORDER) > _PREP_MAX:
+        _PREP_CACHE.pop(_PREP_ORDER.pop(0), None)
+    return prep
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,67 @@ def test_min_points_and_degree_guards():
         bspline.prep_bspline([np.arange(5.0)], np.arange(5.0), 5)
     with pytest.raises(ValueError, match="odd spline degree"):
         bspline.not_a_knot_knots(np.arange(5.0), 2)
+
+
+def test_banded_solve_handles_long_axes():
+    """The banded collocation solve is O(n*k^2): a 20k-point axis (beyond
+    the old 4096 dense guard) fits in memory and matches scipy's 1-d fit."""
+    rng = np.random.default_rng(31)
+    n = 20_000
+    x = np.cumsum(rng.uniform(0.5, 1.5, n))
+    y = rng.standard_normal(n)
+    _, c = bspline.prep_bspline([x], y, 3)
+    spl = si.make_interp_spline(x, y, k=3)
+    np.testing.assert_allclose(c, spl.c, rtol=1e-8, atol=1e-10)
+
+
+def test_prep_cache_hits_on_repeated_content(monkeypatch):
+    """Repeated one-shot calls with the same table pay the collocation
+    solve once (content-keyed, like the i8 prep caches)."""
+    rng = np.random.default_rng(32)
+    grids = [_grid(rng, 8), _grid(rng, 7)]
+    vals = rng.random((8, 7)).ravel()
+    calls = {"n": 0}
+    real = bspline.prep_bspline
+
+    def counting(g, v, k):
+        calls["n"] += 1
+        return real(g, v, k)
+
+    monkeypatch.setattr(bspline, "prep_bspline", counting)
+    bspline._PREP_CACHE.clear()
+    bspline._PREP_ORDER.clear()
+    a = bspline.prep_bspline_cached(grids, vals, 3)
+    b = bspline.prep_bspline_cached([g.copy() for g in grids], vals.copy(), 3)
+    assert calls["n"] == 1
+    assert a[1] is b[1]
+    # different degree or content misses
+    bspline.prep_bspline_cached(grids, vals + 1.0, 3)
+    assert calls["n"] == 2
+    # eviction keeps the cache bounded
+    for i in range(bspline._PREP_MAX + 2):
+        bspline.prep_bspline_cached(grids, vals + float(i), 3)
+    assert len(bspline._PREP_CACHE) <= bspline._PREP_MAX
+
+
+def test_interpn_spline_repeat_call_uses_cache(monkeypatch):
+    import interpn_tpu as it
+
+    rng = np.random.default_rng(33)
+    gr = [_grid(rng, 8), _grid(rng, 7)]
+    v = rng.random((8, 7))
+    obs = [rng.uniform(-2, 2, 16), rng.uniform(-2, 2, 16)]
+    calls = {"n": 0}
+    real = bspline.prep_bspline
+
+    def counting(g, vv, k):
+        calls["n"] += 1
+        return real(g, vv, k)
+
+    monkeypatch.setattr(bspline, "prep_bspline", counting)
+    bspline._PREP_CACHE.clear()
+    bspline._PREP_ORDER.clear()
+    r1 = it.interpn(obs, grids=gr, vals=v, method="cubic_spline")
+    r2 = it.interpn(obs, grids=gr, vals=v, method="cubic_spline")
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(r1, r2)

@@ -299,3 +299,22 @@ def test_fill_value_type_error_matches_scipy():
     with pytest.raises(ValueError) as e_ours:
         compat.RegularGridInterpolator(g, v, bounds_error=False, fill_value="x")
     assert str(e_ours.value) == str(e_theirs.value)
+
+
+def test_linearize_extrapolation_warns_for_non_hermite_methods():
+    """The kwarg only affects method='hermite'; combining it with any other
+    method warns so migrated callers notice the semantic no-op."""
+    import warnings
+
+    grids = (np.linspace(0, 1, 5), np.linspace(0, 1, 6))
+    vals = np.zeros((5, 6))
+    with pytest.warns(UserWarning, match="applies only to method='hermite'"):
+        compat.RegularGridInterpolator(
+            grids, vals, method="cubic", linearize_extrapolation=True
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        compat.RegularGridInterpolator(
+            grids, vals, method="hermite", linearize_extrapolation=True
+        )
+        compat.RegularGridInterpolator(grids, vals, method="cubic")
