@@ -97,6 +97,30 @@ def _prefer_i8(dims, method: str) -> bool:
     return math.prod(dims) >= 4096
 
 
+def i8_route(dims, method: str, vals, obs0) -> bool:
+    """THE routing predicate for the int8 MXU f64 engine — the single
+    source of truth shared by the traced dispatch path (`_impl`) and the
+    eager raw entry points (`raw._i8_eligible`), so the two cannot drift.
+
+    Covers policy (auto mode, TPU backend, batch floor, MXU-vs-VPU
+    preference) and capability (`pallas_i8.supported`: shape/cost
+    admission, tracer refusal — the decomposition needs concrete values —
+    and the per-row spike gate when the table is concrete). The per-batch
+    extrapolation-depth gates stay at the call sites: they need the
+    OBSERVATION values, which differ per call."""
+    return (
+        os.environ.get("INTERPN_TPU_IMPL", "auto") == "auto"
+        and dims is not None
+        and getattr(obs0, "ndim", 1) == 1
+        and obs0.size >= MIN_PALLAS_QUERIES
+        and jax.default_backend() == "tpu"
+        and _plain_trace(obs0)
+        and _plain_trace(vals)
+        and _prefer_i8(tuple(dims), method)
+        and _pi8.supported(tuple(dims), method, vals)
+    )
+
+
 def _plain_trace(x) -> bool:
     """True when x is a concrete array or an ordinary jit trace. Under
     jax.grad/jvp (JVPTracer) or vmap (BatchTracer) the fused Pallas kernels
@@ -165,10 +189,7 @@ def _impl(
         # the double-float VPU engine at MXU rate, when the grid is big
         # enough for the 35 padded passes to beat 21 VPU plane-ops/cell
         # and the (concrete) table passes the per-row spike gate
-        if (
-            _prefer_i8(tuple(dims), method)
-            and _pi8.supported(tuple(dims), method, vals_ref)
-        ):
+        if i8_route(dims, method, vals_ref, obs0):
             return "i8"
         if _pdf.supported(tuple(dims), method):
             # double-float contraction engine: ~1e-14 relative agreement

@@ -114,23 +114,12 @@ def _i8_eligible(dims, method, vals_j, obs0) -> bool:
     The jitted cores below trace `vals`, and the int8 engine's host-side
     table decomposition needs CONCRETE values — so the one place it can
     engage is here, before the core jit, where the raw entry points (and
-    the model classes' _eval_device hooks) still hold real arrays. Policy
-    gates mirror ops.dispatch._impl's f64 branch."""
-    import os as _os
-
+    the model classes' _eval_device hooks) still hold real arrays. The
+    decision itself is `ops.dispatch.i8_route` — the ONE predicate shared
+    with the traced dispatch path, so the two cannot drift."""
     from .ops import dispatch as _dispatch
-    from .ops import pallas_i8 as _pi8
 
-    return (
-        _os.environ.get("INTERPN_TPU_IMPL", "auto") == "auto"
-        and jax.default_backend() == "tpu"
-        and not isinstance(vals_j, jax.core.Tracer)
-        and not isinstance(obs0, jax.core.Tracer)
-        and getattr(obs0, "ndim", 1) == 1
-        and obs0.size >= _dispatch.MIN_PALLAS_QUERIES
-        and _dispatch._prefer_i8(tuple(dims), method)
-        and _pi8.supported(tuple(dims), method, vals_j)
-    )
+    return _dispatch.i8_route(tuple(dims), method, vals_j, obs0)
 
 
 def _i8_vals(vals, dtype):

@@ -490,3 +490,24 @@ class TestExtrapolationGate:
         )[sel]
         assert gate_calls == [False], gate_calls
         assert np.abs(got - orc).max() / scale < 1e-12
+
+
+def test_raw_eligibility_delegates_to_shared_predicate(monkeypatch):
+    """raw._i8_eligible IS dispatch.i8_route (one predicate, two call
+    sites): forcing the shared predicate flips the eager raw decision."""
+    from interpn_tpu import raw
+    from interpn_tpu.ops import dispatch
+
+    seen = []
+
+    def fake(dims, method, vals, obs0):
+        seen.append((dims, method))
+        return True
+
+    monkeypatch.setattr(dispatch, "i8_route", fake)
+    vals = np.zeros(16)
+    obs0 = np.zeros(2048)
+    assert raw._i8_eligible((4, 4), "linear", vals, obs0) is True
+    assert seen == [((4, 4), "linear")]
+    monkeypatch.setattr(dispatch, "i8_route", lambda *a: False)
+    assert raw._i8_eligible((4, 4), "linear", vals, obs0) is False

@@ -278,3 +278,208 @@ def test_interpn_stack_errors():
         )
     with pytest.raises(AssertionError, match="float32 and float64"):
         interpn_tpu.interpn_stack(obs, [x, x], vals.astype(np.int32))
+
+
+# ---------------------------------------------------------------------
+# Routing branches, CPU-covered (interpret mode + patched backend): the
+# fused-stack route and the f64 concrete channel-loop (stack.py)
+# ---------------------------------------------------------------------
+
+
+def _routing_case(dims, nch, seed, dtype=np.float32, n=1536):
+    rng = np.random.default_rng(seed)
+    starts = jnp.asarray(rng.uniform(-1, 1, len(dims)), dtype)
+    steps = jnp.asarray(rng.uniform(0.3, 1.0, len(dims)), dtype)
+    vals = jnp.asarray(rng.standard_normal((nch, int(np.prod(dims)))), dtype)
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(
+                float(starts[k]) - 2 * float(steps[k]),
+                float(starts[k]) + float(steps[k]) * (dims[k] + 1),
+                n,
+            ),
+            dtype,
+        )
+        for k in range(len(dims))
+    )
+    return starts, steps, vals, obs
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic"])
+def test_stack_routing_selects_fused_kernel(interpret_mode, monkeypatch, method):
+    """With a TPU-shaped decision environment the stack dispatcher takes
+    the fused pallas-stack route (asserted via spy), and the fused result
+    matches the vmapped gather tree."""
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    dims = (8, 9, 7)
+    starts, steps, vals, obs = _routing_case(dims, nch=3, seed=21)
+    called = []
+    real = v3.eval_regular_stack
+
+    def spy(*a, **k):
+        called.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(st._pv3, "eval_regular_stack", spy)
+    fn = {
+        "linear": ops.linear_regular_stack,
+        "cubic": ops.cubic_regular_stack,
+    }[method]
+    got = np.asarray(fn(dims, starts, steps, vals, obs))
+    assert called, "fused stack kernel was not selected"
+    from interpn_tpu.ops.cubic import cubic_regular as cubic_gather
+    from interpn_tpu.ops.linear import linear_regular as linear_gather
+
+    for c in range(3):
+        if method == "linear":
+            ref = linear_gather(dims, starts, steps, vals[c], obs)
+        else:
+            ref = cubic_gather(dims, starts, steps, vals[c], obs, True)
+        np.testing.assert_allclose(
+            got[c], np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_stack_routing_rectilinear_fused(interpret_mode, monkeypatch):
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(22)
+    dims = (9, 8, 7)
+    grids = tuple(
+        jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, d)), jnp.float32)
+        for d in dims
+    )
+    vals = jnp.asarray(rng.standard_normal((2, int(np.prod(dims)))), jnp.float32)
+    obs = tuple(
+        jnp.asarray(
+            rng.uniform(float(g[0]) - 0.5, float(g[-1]) + 0.5, 1536),
+            jnp.float32,
+        )
+        for g in grids
+    )
+    called = []
+    real = v3.eval_rectilinear_stack
+
+    def spy(*a, **k):
+        called.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(st._pv3, "eval_rectilinear_stack", spy)
+    got = np.asarray(ops.linear_rectilinear_stack(grids, vals, obs))
+    assert called
+    from interpn_tpu.ops.linear import linear_rectilinear as gather
+
+    for c in range(2):
+        np.testing.assert_allclose(
+            got[c], np.asarray(gather(grids, vals[c], obs)), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_stack_fused_route_jvp_uses_gather_tangents(interpret_mode, monkeypatch):
+    """Differentiating through the fused stack route produces the vmapped
+    gather tree's tangents (the custom_jvp wiring in _eval_stack)."""
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    dims = (8, 9, 7)
+    starts, steps, vals, obs = _routing_case(dims, nch=2, seed=23)
+
+    # jit FIRST: under direct jvp the JVPTracer demotes to the vmap
+    # fallback (by design); differentiating the jitted jaxpr exercises
+    # the custom_jvp wiring around the fused kernel
+    f = jax.jit(lambda v: ops.linear_regular_stack(dims, starts, steps, v, obs))
+
+    tangent = jnp.ones_like(vals)
+    _, dout = jax.jvp(f, (vals,), (tangent,))
+
+    from interpn_tpu.ops.linear import linear_regular as gather
+
+    def g(v):
+        return jnp.stack([gather(dims, starts, steps, v[c], obs) for c in range(2)])
+
+    _, dref = jax.jvp(g, (vals,), (tangent,))
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref), rtol=2e-5, atol=2e-5)
+
+
+def test_stack_f64_concrete_channel_loop(interpret_mode, monkeypatch):
+    """A concrete f64 stack on a 'TPU' backend loops channels through the
+    single-channel dispatcher (so each channel can take the i8/df64
+    engines) instead of vmapping."""
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    dims = (6, 5)  # small: i8 declines on cell count, df64 may engage
+    starts, steps, vals, obs = _routing_case(dims, nch=3, seed=24, dtype=np.float64)
+    calls = []
+    real = st._SINGLE[("linear", True)]
+
+    def spy(*a, **k):
+        calls.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setitem(st._SINGLE, ("linear", True), spy)
+    got = np.asarray(ops.linear_regular_stack(dims, starts, steps, vals, obs))
+    assert len(calls) == 3, "expected one single-channel dispatch per channel"
+    from interpn_tpu.ops.linear import linear_regular as gather
+
+    for c in range(3):
+        np.testing.assert_allclose(
+            got[c], np.asarray(gather(dims, starts, steps, vals[c], obs)),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_use_pallas_stack_decline_branches(monkeypatch):
+    """Each policy gate in _use_pallas_stack declines independently."""
+    dims = (8, 9, 7)
+    starts, steps, vals, obs = _routing_case(dims, nch=2, seed=25)
+    args = lambda v=vals, o=obs[0]: (dims, 2, v, o, "linear", False, True)
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    assert st._use_pallas_stack(*args())
+    # env override
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
+    assert not st._use_pallas_stack(*args())
+    monkeypatch.delenv("INTERPN_TPU_IMPL")
+    # f64 / non-finite
+    assert not st._use_pallas_stack(dims, 2, vals.astype(jnp.float64), obs[0],
+                                    "linear", False, True)
+    assert not st._use_pallas_stack(dims, 2, vals, obs[0], "linear", False, False)
+    # non-flat obs
+    assert not st._use_pallas_stack(dims, 2, vals, obs[0].reshape(2, -1),
+                                    "linear", False, True)
+    # batch floor (auto mode)
+    assert not st._use_pallas_stack(dims, 2, vals, obs[0][:512], "linear",
+                                    False, True)
+    # forced pallas skips the batch floor
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "pallas")
+    assert st._use_pallas_stack(dims, 2, vals, obs[0][:512], "linear", False, True)
+    monkeypatch.delenv("INTERPN_TPU_IMPL")
+    # grid cap (regular nearest is capped low)
+    big = (40, 40, 40)
+    vals_big = jnp.zeros((2, 64000), jnp.float32)
+    assert not st._use_pallas_stack(big, 2, vals_big, obs[0], "nearest",
+                                    False, True)
+    # CPU backend declines
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "cpu")
+    assert not st._use_pallas_stack(*args())
+
+
+@pytest.mark.parametrize("method", ["nearest", "cubic"])
+def test_stack_fused_rect_and_nearest_jvp(interpret_mode, monkeypatch, method):
+    """JVP through the fused rectilinear stack route exercises the
+    vmapped-gather tangent wiring for the remaining method lambdas."""
+    monkeypatch.setattr(st.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(26)
+    dims = (8, 7, 6)
+    grids = tuple(
+        jnp.asarray(np.cumsum(rng.uniform(0.2, 1.0, d)), jnp.float32)
+        for d in dims
+    )
+    vals = jnp.asarray(rng.standard_normal((2, int(np.prod(dims)))), jnp.float32)
+    obs = tuple(
+        jnp.asarray(rng.uniform(float(g[0]), float(g[-1]), 1536), jnp.float32)
+        for g in grids
+    )
+    fn = {
+        "nearest": ops.nearest_rectilinear_stack,
+        "cubic": ops.cubic_rectilinear_stack,
+    }[method]
+    tangent = jnp.ones_like(vals)
+    _, dout = jax.jvp(jax.jit(lambda v: fn(grids, v, obs)), (vals,), (tangent,))
+    assert dout.shape == (2, 1536)
+    assert bool(jnp.isfinite(dout).all())
