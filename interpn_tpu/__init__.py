@@ -38,6 +38,8 @@ if _PYDANTIC_FOUND:
         MultilinearRegular,
         NearestRectilinear,
         NearestRegular,
+        TensorSplineRectilinear,
+        TensorSplineRegular,
     )
 
 __version__ = "0.1.0"
@@ -57,6 +59,8 @@ if _PYDANTIC_FOUND:
         "MulticubicRectilinear",
         "NearestRegular",
         "NearestRectilinear",
+        "TensorSplineRegular",
+        "TensorSplineRectilinear",
     ]
 
 
@@ -254,7 +258,9 @@ def interpn_stack(
     grids: Sequence[NDArray],
     vals: NDArray,
     *,
-    method: Literal["linear", "cubic", "nearest"] = "linear",
+    method: Literal[
+        "linear", "cubic", "nearest", "pchip", "cubic_spline", "quintic"
+    ] = "linear",
     linearize_extrapolation: bool = True,
     assume_regular: bool = False,
     check_bounds: bool = False,
@@ -331,6 +337,54 @@ def interpn_stack(
     import jax.numpy as jnp
 
     obs_j = tuple(jnp.asarray(x) for x in obs_np)
+
+    if method in ("pchip", "cubic_spline", "quintic"):
+        # extension channels: shared grid geometry, one prep, channels
+        # mapped on device (pchip is nonlinear per channel; the splines
+        # share knots and vmap over the coefficient tables)
+        import jax
+
+        if method == "pchip":
+            from .ops import pchip as _pchip
+
+            floor_msg = "All grids must have at least 4 entries"
+            if any(len(g) < 4 for g in grids):
+                raise AssertionError(floor_msg)
+            if is_regular:
+                dims_t = tuple(int(d) for d in dims)
+                starts_j = jnp.asarray(
+                    np.array([g[0] for g in grids], dtype=dtype)
+                )
+                steps_j = jnp.asarray(
+                    np.array([g[1] - g[0] for g in grids], dtype=dtype)
+                )
+                f = lambda v: _pchip.pchip_regular(
+                    dims_t, starts_j, steps_j, v, obs_j
+                )
+            else:
+                grids_j = tuple(jnp.asarray(g) for g in grids)
+                f = lambda v: _pchip.pchip_rectilinear(grids_j, v, obs_j)
+            out = jax.vmap(f)(jnp.asarray(vals2))
+        else:
+            from .ops import bspline as _bspline
+
+            k = 3 if method == "cubic_spline" else 5
+            if any(len(g) < k + 1 for g in grids):
+                raise AssertionError(
+                    f"All grids must have at least {k + 1} entries"
+                )
+            knots, coeffs = _bspline.prep_bspline_cached(
+                grids, np.ascontiguousarray(vals2.T, dtype=np.float64), k
+            )
+            knots_j = [jnp.asarray(t.astype(dtype, copy=False)) for t in knots]
+            ct = jnp.asarray(
+                np.ascontiguousarray(coeffs.T).astype(dtype, copy=False)
+            )
+            out = jax.vmap(
+                lambda c: _bspline.bspline_eval(knots_j, c, obs_j, k)
+            )(ct)
+        return np.asarray(out, dtype=dtype).reshape((nch,) + outshape)
+
     vals_j = jnp.asarray(vals2)
     vf = bool(np.isfinite(vals2).all())
     if is_regular:

@@ -37,7 +37,35 @@ from .ops import pchip as _pchip
 
 __all__ = ["JaxInterpolator"]
 
-_METHODS = ("linear", "cubic", "nearest", "pchip")
+_METHODS = ("linear", "cubic", "nearest", "pchip", "cubic_spline", "quintic")
+_SPLINE_DEGREE = {"cubic_spline": 3, "quintic": 5}
+
+
+def _spline_leaves(grids_host, vals, k, dtype):
+    """(knots tuple, coefficients) pytree leaves for the global B-spline
+    methods: the collocation prep runs ONCE at construction (host float64,
+    content-cached), and the pytree carries knots + coefficients — linear
+    in the data, so vmap/grad/jit-argument swaps apply to the COEFFICIENT
+    leaf. Construction therefore needs concrete table values."""
+    import numpy as np
+
+    from .ops import bspline as _bspline
+
+    if isinstance(vals, jax.core.Tracer):
+        raise TypeError(
+            "cubic_spline/quintic construction solves the collocation "
+            "system on the host and needs concrete table values; build "
+            "the interpolator outside jit (it is a pytree — pass it in)"
+        )
+    knots, coeffs = _bspline.prep_bspline_cached(
+        [np.asarray(g, dtype=np.float64) for g in grids_host],
+        np.asarray(vals, dtype=np.float64).reshape(-1),
+        k,
+    )
+    return (
+        tuple(jnp.asarray(t, dtype=dtype) for t in knots),
+        jnp.asarray(coeffs, dtype=dtype),
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -68,6 +96,21 @@ class JaxInterpolator:
         arrays, `vals` the C-order table (flat or shaped)."""
         dims = tuple(int(d) for d in dims)
         cls._check(method, len(dims))
+        if method in _SPLINE_DEGREE:
+            import numpy as np
+
+            dtype = jnp.asarray(vals).dtype
+            s = np.asarray(starts, dtype=np.float64)
+            h = np.asarray(steps, dtype=np.float64)
+            grids_host = [s[i] + h[i] * np.arange(d) for i, d in enumerate(dims)]
+            knots, coeffs = _spline_leaves(
+                grids_host, vals, _SPLINE_DEGREE[method], dtype
+            )
+            return cls(
+                method=method, kind="regular", dims=dims,
+                linearize_extrapolation=bool(linearize_extrapolation),
+                grid_arrays=knots, vals=coeffs,
+            )
         vals = jnp.asarray(vals).reshape(-1)
         return cls(
             method=method, kind="regular", dims=dims,
@@ -81,6 +124,15 @@ class JaxInterpolator:
         """Rectilinear grid: one strictly-increasing 1-D array per axis."""
         grids = tuple(jnp.asarray(g) for g in grids)
         cls._check(method, len(grids))
+        if method in _SPLINE_DEGREE:
+            knots, coeffs = _spline_leaves(
+                grids, vals, _SPLINE_DEGREE[method], grids[0].dtype
+            )
+            return cls(
+                method=method, kind="rectilinear", dims=None,
+                linearize_extrapolation=bool(linearize_extrapolation),
+                grid_arrays=knots, vals=coeffs,
+            )
         vals = jnp.asarray(vals).reshape(-1)
         return cls(
             method=method, kind="rectilinear", dims=None,
@@ -94,9 +146,16 @@ class JaxInterpolator:
         pytree; the model's arrays become leaves."""
         from .models import _base
 
-        method = {
-            "Multilinear": "linear", "Multicubic": "cubic", "Nearest": "nearest"
-        }[type(model).__name__.replace("Regular", "").replace("Rectilinear", "")]
+        base_name = (
+            type(model).__name__.replace("Regular", "").replace("Rectilinear", "")
+        )
+        if base_name == "TensorSpline":
+            method = model.method  # "pchip" | "cubic_spline" | "quintic"
+        else:
+            method = {
+                "Multilinear": "linear", "Multicubic": "cubic",
+                "Nearest": "nearest",
+            }[base_name]
         lin = bool(getattr(model, "linearize_extrapolation", True))
         if isinstance(model, _base.RegularGridMixin):
             return cls.regular(
@@ -147,6 +206,15 @@ class JaxInterpolator:
             raise AssertionError("Dimension mismatch")
         shape = obs[0].shape
         flat = [o.reshape(-1) for o in obs]
+        if self.method in _SPLINE_DEGREE:
+            # both grid kinds store (knots, coefficients) leaves; the
+            # evaluation is the batched Cox-de Boor stencil contraction
+            from .ops import bspline as _bspline
+
+            out = _bspline.bspline_eval(
+                self.grid_arrays, self.vals, flat, _SPLINE_DEGREE[self.method]
+            )
+            return out.reshape(shape)
         if self.kind == "regular":
             starts, steps = self.grid_arrays
             if self.method == "linear":

@@ -11,6 +11,7 @@ from .multilinear_regular import MultilinearRegular
 from .nearest_rectilinear import NearestRectilinear
 from .nearest_regular import NearestRegular
 from .serialization import Array, ArrayF32, ArrayF64
+from .spline import TensorSplineRectilinear, TensorSplineRegular
 
 __all__ = [
     "Array",
@@ -22,4 +23,6 @@ __all__ = [
     "MultilinearRegular",
     "NearestRectilinear",
     "NearestRegular",
+    "TensorSplineRectilinear",
+    "TensorSplineRegular",
 ]
