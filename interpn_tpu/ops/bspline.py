@@ -194,12 +194,113 @@ def _basis_weights(t, span, x, k: int):
     return N
 
 
+def spline_locs_weights(knots, obs, k: int):
+    """Per-axis (loc, [w_0..w_k]) for the tensor-product spline: the de
+    Boor span clamped to [k, n-1] (out-of-bounds queries extrapolate the
+    end span's polynomial), rebased to the coefficient index `span - k`,
+    and the k+1 nonzero Cox-de Boor basis values. This is the SAME
+    located-stencil shape the linear/cubic engines consume, so every
+    contraction engine (gather tree, fused Pallas, double-float) plugs in
+    the same way."""
+    out = []
+    for ax, t in enumerate(knots):
+        t = jnp.asarray(t)
+        n = int(t.shape[0]) - k - 1
+        x = obs[ax]
+        span = jnp.clip(
+            jnp.searchsorted(t, x, side="right").astype(_I32) - 1, k, n - 1
+        )
+        out.append((span - k, _basis_weights(t, span, x, k)))
+    return out
+
+
 def bspline_eval(knots, coeffs, obs, k: int):
-    """Tensor-product B-spline evaluation.
+    """Tensor-product B-spline evaluation with engine dispatch.
 
     knots: per-axis not-a-knot knot arrays (length n_i + k + 1); coeffs:
     flat C-order coefficient table from :func:`prep_bspline`; obs: per-axis
-    query arrays.  Extrapolates the end-span polynomial out of bounds."""
+    query arrays.  Extrapolates the end-span polynomial out of bounds.
+
+    Engine selection mirrors ops.dispatch: the spline is LINEAR in the
+    coefficients with separable per-axis weights — exactly the shape the
+    fused engines exploit — so eligible f32 TPU traces run the fused
+    Pallas contraction (pallas_v3's precomputed-weights kernel) and f64
+    runs the double-float VPU engine (pallas_df64), both wrapped in
+    custom_jvp with gather-tree tangents. Everything else (CPU, tracers
+    under vmap/AD, over-cap grids, small batches) takes the flat-gather
+    stencil tree below."""
+    engine = _spline_engine(knots, coeffs, obs, k)
+    if engine is not None:
+        return engine(knots, coeffs, obs, k)
+    ndims = len(knots)
+    nverts = (k + 1) ** ndims
+    if nverts > LIST_MAX_VERTS and getattr(obs[0], "ndim", 1) == 1:
+        return chunk_queries(
+            lambda ob: _bspline_impl(knots, coeffs, ob, k),
+            obs, nverts, jnp.asarray(coeffs).dtype.itemsize,
+        )
+    return _bspline_impl(knots, coeffs, obs, k)
+
+
+def _spline_engine(knots, coeffs, obs, k: int):
+    """The fused-engine route for this trace, or None for the gather tree."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
+    if mode in ("gather", "factorized"):
+        return None
+    from . import dispatch as _dispatch
+
+    obs0 = obs[0]
+    if (
+        getattr(obs0, "ndim", 1) != 1
+        or jax.default_backend() != "tpu"
+        or not _dispatch._plain_trace(obs0)
+        or not _dispatch._plain_trace(coeffs)
+    ):
+        return None
+    if mode != "pallas" and obs0.size < _dispatch.MIN_PALLAS_QUERIES:
+        return None
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    dtype = jnp.asarray(coeffs).dtype
+    if dtype == jnp.float32:
+        from . import pallas_v3 as _pv3
+
+        if not _pv3.supported(dims, jnp.float32, f"bspline{k}"):
+            return None
+        if mode != "pallas" and np.prod(dims) > _dispatch.MAX_PALLAS_GRID["cubic"]:
+            return None
+
+        def run(kn, cf, ob, kk):
+            ng = len(kn)
+            prim = lambda *a: _pv3.eval_bspline(
+                a[:ng], a[ng], a[ng + 1:], kk, _dispatch._pallas_passes()
+            )
+            gat = lambda *a: _bspline_gather(a[:ng], a[ng], a[ng + 1:], kk)
+            return _dispatch._with_gather_jvp(prim, gat)(*kn, cf, *ob)
+
+        return run
+    if dtype == jnp.float64 and mode != "pallas":
+        from . import pallas_df64 as _pdf
+
+        if not _pdf.supported(dims, f"bspline{k}"):
+            return None
+
+        def run(kn, cf, ob, kk):
+            ng = len(kn)
+            prim = lambda *a: _pdf.eval_bspline(a[:ng], a[ng], a[ng + 1:], kk)
+            gat = lambda *a: _bspline_gather(a[:ng], a[ng], a[ng + 1:], kk)
+            return _dispatch._with_gather_jvp(prim, gat)(*kn, cf, *ob)
+
+        return run
+    return None
+
+
+def _bspline_gather(knots, coeffs, obs, k: int):
+    """The gather-tree evaluation (chunked), used directly and as the
+    differentiable tangent path for the fused engines."""
     ndims = len(knots)
     nverts = (k + 1) ** ndims
     if nverts > LIST_MAX_VERTS and getattr(obs[0], "ndim", 1) == 1:
@@ -216,15 +317,9 @@ def _bspline_impl(knots, coeffs, obs, k: int):
     strides = c_strides(dims)
     base = jnp.zeros(obs[0].shape, dtype=_I32)
     wts = []
-    for ax in range(ndims):
-        t = jnp.asarray(knots[ax])
-        n = dims[ax]
-        x = obs[ax]
-        span = jnp.clip(
-            jnp.searchsorted(t, x, side="right").astype(_I32) - 1, k, n - 1
-        )
-        base = base + (span - k) * strides[ax]
-        wts.append(_basis_weights(t, span, x, k))
+    for ax, (loc, ws) in enumerate(spline_locs_weights(knots, obs, k)):
+        base = base + loc * strides[ax]
+        wts.append(ws)
 
     width = k + 1
     if width**ndims <= LIST_MAX_VERTS:

@@ -64,13 +64,18 @@ _TILE_BYTES = 2 * 1024 * 1024
 _MAX_VALS_BYTES = 2 * 1024 * 1024
 
 
+_FOOTPRINT = {"linear": 2, "cubic": 4, "bspline3": 4, "bspline5": 6}
+
+
 def max_grid(method: str, ndims: int) -> int:
     """Grid-size crossover vs the f64 gather path, from v5e measurements:
     this engine runs at ~1.3e5/prod(dims) Mq/s (VPU double-float madds
     scale with the table), the gather path at roughly 60/2^N (linear) or
     60/4^N (cubic) Mq/s (stencil-count-bound). Equal at
-    prod ~= 2048 * footprint^ndims, capped by the VMEM table budget."""
-    footprint = 2 if method == "linear" else 4
+    prod ~= 2048 * footprint^ndims, capped by the VMEM table budget.
+    The B-spline gather tree pays the same (k+1)^N stencil, so its
+    crossover uses the same formula with footprint k+1."""
+    footprint = _FOOTPRINT[method]
     return min(2048 * footprint**ndims, _MAX_VALS_BYTES // 8)
 
 
@@ -104,7 +109,7 @@ def _choose_suffix(dims) -> tuple[int, int, int]:
 
 
 def supported(dims, method: str) -> bool:
-    if method not in ("linear", "cubic"):
+    if method not in _FOOTPRINT:
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
@@ -539,6 +544,46 @@ def _eval(dims, starts, steps, grids, vals, obs, method, linearize):
         tuple(grids) if grids is not None else (), obs,
     )
     vh, vl = _table_split(vals, lead, dims[-1])
+    oh, ol = _pallas_df64(tuple(dims), footprint, locs, wh, wl, vh, vl)
+    return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
+
+
+def eval_bspline(knots, coeffs, obs, k: int):
+    """Double-float f64 evaluation of a degree-k tensor-product B-spline.
+
+    Same engine as the cubic family: spans + the k+1 Cox-de Boor weights
+    per axis compute in XLA f64 (`ops.bspline.spline_locs_weights`), split
+    into exact f32 hi/lo pairs, and the generic (locs, weights, footprint)
+    double-float kernel contracts them against the hi/lo-split coefficient
+    table. Accuracy class ~2^-47 of the stencil-term magnitudes, like the
+    linear/cubic routes."""
+    from .bspline import spline_locs_weights
+
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    footprint = k + 1
+    lead = math.prod(dims[:-1])
+    tq = _tq_for(dims)
+    n = obs[0].shape[0]
+    n_pad = ((n + tq - 1) // tq) * tq
+    f64 = coeffs.dtype
+
+    per_axis = spline_locs_weights(
+        [jnp.asarray(t, jnp.float64) for t in knots],
+        [o.astype(jnp.float64) for o in obs],
+        k,
+    )
+    locs = jnp.concatenate(
+        [loc.reshape(1, n).astype(_I32) for loc, _ in per_axis], axis=0
+    )
+    w64 = jnp.concatenate(
+        [w.reshape(1, n) for _, ws in per_axis for w in ws], axis=0
+    )
+    wh, wl = _split_f64(w64)
+    pad = n_pad - n
+    locs = jnp.pad(locs, ((0, 0), (0, pad)))
+    wh = jnp.pad(wh, ((0, 0), (0, pad)))
+    wl = jnp.pad(wl, ((0, 0), (0, pad)))
+    vh, vl = _table_split(coeffs, lead, dims[-1])
     oh, ol = _pallas_df64(tuple(dims), footprint, locs, wh, wl, vh, vl)
     return (oh.astype(f64) + ol.astype(f64)).reshape(-1)[:n]
 

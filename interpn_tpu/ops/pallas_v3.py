@@ -170,7 +170,9 @@ def _cubic_axis_weights(x, start, step, dim, linearize: bool):
 
 
 def supported(dims, dtype, method: str) -> bool:
-    if dtype != jnp.float32 or method not in ("linear", "cubic", "nearest"):
+    if dtype != jnp.float32 or method not in (
+        "linear", "cubic", "nearest", "bspline3", "bspline5"
+    ):
         return False
     if len(dims) < 2 or len(dims) > 8:
         return False
@@ -302,7 +304,14 @@ def _weight_mat(tq, dim, loc, ws):
     return w
 
 
-_FOOTPRINT = {"linear": 2, "nearest": 1, "cubic": 4}
+_FOOTPRINT = {
+    "linear": 2, "nearest": 1, "cubic": 4,
+    # global tensor-product B-splines (ops/bspline.py): k+1 Cox-de Boor
+    # weights at the rebased de Boor span — consumed through the
+    # precomputed-weights kernel, which is method-agnostic placement +
+    # contraction
+    "bspline3": 4, "bspline5": 6,
+}
 
 
 def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
@@ -832,6 +841,37 @@ def eval_rectilinear_pre(
     locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
     w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
     out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals)
+    return out[:n]
+
+
+def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
+    """Fused evaluation of a degree-k tensor-product B-spline (f32).
+
+    The spline is linear in the coefficient table with separable per-axis
+    Cox-de Boor weights, so it rides the precomputed-weights kernel
+    exactly like the cubic family: spans + the k+1 basis values per axis
+    compute in XLA (`ops.bspline.spline_locs_weights`), the kernel places
+    them densely and contracts against the VMEM-resident coefficient
+    table. `dims` are coefficient counts per axis (== grid dims for the
+    interpolating spline)."""
+    from .bspline import spline_locs_weights
+
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    method = f"bspline{k}"
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
+    obs32 = [o.astype(jnp.float32) for o in obs]
+    locs, ws = [], []
+    for loc, wlist in spline_locs_weights(knots32, obs32, k):
+        locs.append(loc)
+        ws.extend(wlist)
+    pad = n_pad - n
+    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, coeffs)
     return out[:n]
 
 

@@ -1,0 +1,194 @@
+"""Fused/MXU engines for the global B-splines (VERDICT r3 #2): the
+pallas_v3 precomputed-weights contraction (f32) and the double-float VPU
+engine (f64), in interpret mode on CPU, against the gather stencil tree.
+
+Error normalization: the engines' error classes scale with the
+COEFFICIENT magnitudes (f32 products ~2^-24, double-float ~2^-47), and
+not-a-knot coefficients on short random axes can exceed the data scale by
+orders of magnitude — so parity is asserted relative to max|coeffs|
+(interior at the engine floor; extrapolated points carry the end-span
+polynomial's term amplification, banded like the cubic df64 suite)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import interpn_tpu  # noqa: F401  (enables x64)
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from interpn_tpu.ops import bspline
+from interpn_tpu.ops import dispatch
+from interpn_tpu.ops import pallas_df64 as df
+from interpn_tpu.ops import pallas_v3 as v3
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+
+def _case(k, dims, seed=0, n=512, ext=0.2):
+    rng = np.random.default_rng(seed)
+    grids = [np.sort(rng.uniform(-2, 2, d)) for d in dims]
+    for g in grids:
+        while np.any(np.diff(g) <= 5e-2):
+            g[:] = np.sort(rng.uniform(-2, 2, g.size))
+    vals = rng.standard_normal(dims)
+    knots, coeffs = bspline.prep_bspline(grids, vals.ravel(), k)
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    xi = rng.uniform(lo - ext * (hi - lo), hi + ext * (hi - lo), (n, len(dims)))
+    inside = np.all((xi >= lo) & (xi <= hi), axis=1)
+    obs = tuple(jnp.asarray(np.ascontiguousarray(xi[:, i])) for i in range(len(dims)))
+    kt = tuple(jnp.asarray(t) for t in knots)
+    ref = np.asarray(bspline._bspline_gather(kt, jnp.asarray(coeffs), obs, k))
+    return kt, coeffs, obs, ref, inside
+
+
+@pytest.mark.parametrize("k,dims", [(3, (8, 7, 6)), (3, (6, 9)), (5, (7, 8)),
+                                    (5, (7, 7, 7))])
+def test_df64_engine_parity(k, dims):
+    kt, coeffs, obs, ref, inside = _case(k, dims, seed=k)
+    got = np.asarray(df.eval_bspline(kt, jnp.asarray(coeffs), obs, k))
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(got - ref)[inside].max() <= 1e-13 * cs
+    assert np.abs(got - ref).max() <= 1e-11 * cs  # extrapolated amplification
+
+
+@pytest.mark.parametrize("k,dims", [(3, (8, 7, 6)), (5, (7, 8))])
+def test_v3_engine_parity(k, dims):
+    kt, coeffs, obs, ref, inside = _case(k, dims, seed=10 + k)
+    kt32 = tuple(t.astype(jnp.float32) for t in kt)
+    obs32 = tuple(o.astype(jnp.float32) for o in obs)
+    got = np.asarray(
+        v3.eval_bspline(kt32, jnp.asarray(coeffs, jnp.float32), obs32, k)
+    )
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    # f32 weights (Cox-de Boor recursion) + exact-mode f32 contraction
+    assert np.abs(got - ref)[inside].max() <= 2e-6 * cs
+    assert np.isfinite(got).all()
+
+
+def test_df64_looped_kernel_shape():
+    """lead > _MAX_UNROLL_LEAD exercises the fori_loop slab kernel."""
+    dims = (14, 14, 14, 6)
+    assert np.prod(dims[:-1]) > df._MAX_UNROLL_LEAD
+    assert df.supported(dims, "bspline3")
+    kt, coeffs, obs, ref, inside = _case(3, dims, seed=3, n=256, ext=0.05)
+    got = np.asarray(df.eval_bspline(kt, jnp.asarray(coeffs), obs, 3))
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(got - ref)[inside].max() <= 1e-13 * cs
+    assert np.abs(got - ref).max() <= 1e-11 * cs
+
+
+def test_supported_gates():
+    assert v3.supported((8, 8, 8), jnp.float32, "bspline3")
+    assert v3.supported((8, 8, 8), jnp.float32, "bspline5")
+    assert not v3.supported((8, 8, 8), jnp.float64, "bspline3")
+    assert not v3.supported((8,), jnp.float32, "bspline3")
+    assert df.supported((8, 8, 8), "bspline3")
+    assert df.supported((8, 8), "bspline5")
+    assert not df.supported((8,), "bspline3")
+    # crossover cost model uses the spline footprint
+    assert df.max_grid("bspline5", 2) == min(2048 * 36, df._MAX_VALS_BYTES // 8)
+
+
+def _routing_case(k=3, dims=(8, 7, 6), dtype=np.float64, n=2048, seed=1):
+    rng = np.random.default_rng(seed)
+    grids = [np.sort(rng.uniform(-2, 2, d)) for d in dims]
+    vals = rng.standard_normal(dims)
+    knots, coeffs = bspline.prep_bspline(grids, vals.ravel(), k)
+    kt = tuple(jnp.asarray(t, dtype) for t in knots)
+    cf = jnp.asarray(coeffs, dtype)
+    obs = tuple(
+        jnp.asarray(rng.uniform(g[0], g[-1], n), dtype) for g in grids
+    )
+    return kt, cf, obs
+
+
+def test_routing_selects_engines(monkeypatch):
+    """bspline_eval routes f32 -> v3, f64 -> df64 on a TPU-shaped trace,
+    asserted via spies, and declines to the gather tree under vmap/AD
+    tracers and env overrides."""
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    calls = []
+    monkeypatch.setattr(
+        v3, "eval_bspline",
+        lambda *a, **kw: calls.append("v3") or bspline._bspline_gather(a[0], a[1], a[2], a[3]),
+    )
+    monkeypatch.setattr(
+        df, "eval_bspline",
+        lambda *a, **kw: calls.append("df64") or bspline._bspline_gather(a[0], a[1], a[2], a[3]),
+    )
+    kt, cf, obs = _routing_case(dtype=np.float64)
+    bspline.bspline_eval(kt, cf, obs, 3)
+    assert calls == ["df64"]
+    calls.clear()
+    kt32, cf32, obs32 = _routing_case(dtype=np.float32)
+    bspline.bspline_eval(kt32, cf32, obs32, 3)
+    assert calls == ["v3"]
+    calls.clear()
+    # small batches decline in auto mode
+    bspline.bspline_eval(kt, cf, tuple(o[:64] for o in obs), 3)
+    assert calls == []
+    # env override forces the gather tree
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
+    bspline.bspline_eval(kt, cf, obs, 3)
+    assert calls == []
+    monkeypatch.delenv("INTERPN_TPU_IMPL")
+    # vmap (BatchTracer coefficients) declines to the natively-batching tree
+    got = jax.vmap(lambda c: bspline.bspline_eval(kt, c, obs, 3))(
+        jnp.stack([cf, cf + 1.0])
+    )
+    assert calls == []
+    assert got.shape == (2, obs[0].shape[0])
+
+
+def test_fused_route_jvp_uses_gather_tangents(monkeypatch):
+    """Differentiating the jitted fused route produces the gather tree's
+    tangents through the custom_jvp wiring (real kernels, interpret mode)."""
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    kt, cf, obs = _routing_case(dtype=np.float64, n=1536)
+
+    f = jax.jit(lambda c: bspline.bspline_eval(kt, c, obs, 3))
+    tangent = jnp.ones_like(cf)
+    out, dout = jax.jvp(f, (cf,), (tangent,))
+
+    def g(c):
+        return bspline._bspline_gather(kt, c, obs, 3)
+
+    ref, dref = jax.jvp(g, (cf,), (tangent,))
+    cs = max(float(np.abs(np.asarray(cf)).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-12 * cs)
+    np.testing.assert_allclose(np.asarray(dout), np.asarray(dref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_public_spline_path_uses_fused_engine(monkeypatch):
+    """interpn(method='cubic_spline') reaches the fused engine when the
+    trace qualifies (the whole dispatch chain, not just bspline_eval)."""
+    import interpn_tpu as it
+
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    calls = []
+    real = df.eval_bspline
+    monkeypatch.setattr(
+        df, "eval_bspline", lambda *a, **kw: calls.append(1) or real(*a, **kw)
+    )
+    rng = np.random.default_rng(5)
+    grids = [np.sort(rng.uniform(-2, 2, 8)) for _ in range(3)]
+    vals = rng.standard_normal((8, 8, 8))
+    obs = [rng.uniform(-2, 2, 2048) for _ in range(3)]
+    got = it.interpn(obs, grids=grids, vals=vals, method="cubic_spline")
+    assert calls, "fused f64 spline engine was not selected"
+    assert np.isfinite(got).all()
