@@ -5,6 +5,7 @@ from .sharding import (
     make_mesh,
     obs_sharding,
     pad_to_multiple,
+    prepared_evaluator,
     replicated,
     shard_obs,
     sharded_evaluator,
@@ -15,6 +16,7 @@ __all__ = [
     "make_mesh",
     "obs_sharding",
     "pad_to_multiple",
+    "prepared_evaluator",
     "replicated",
     "shard_obs",
     "sharded_evaluator",

@@ -134,3 +134,109 @@ def sharded_evaluator(
         return sm(tuple(grid_arrays), vals, tuple(obs))
 
     return f
+
+
+def prepared_evaluator(
+    mesh: Mesh,
+    grid_arrays,
+    vals,
+    *,
+    dims=None,
+    method: str = "linear",
+    regular: bool = True,
+    linearize_extrapolation: bool = True,
+):
+    """Sharded evaluator specialized to one CONCRETE grid + value table.
+
+    Closes over `grid_arrays`/`vals` at build time and returns
+    ``f(obs) -> out`` (obs sharded along the obs axis, output inherits the
+    sharding). The payoff vs :func:`sharded_evaluator` is f64: under
+    ``shard_map`` the table is a tracer, so the generic path can never
+    select the int8-multipass MXU engine (its decomposition needs concrete
+    values — `ops/pallas_i8.py`) and f64 falls back to the ~12x-slower
+    double-float/gather route per chip. Here the decomposition runs ONCE at
+    build time on the concrete table (`pallas_i8.prepare`) and the prepared
+    pieces ride into the shard_map body as replicated operands, mirroring
+    how `ops.dispatch` hoists the prep for its eager custom_jvp wrapper.
+
+    Routing parity: build-time admission uses the same unified predicate as
+    the single-chip paths (`dispatch.i8_route`); the per-batch
+    extrapolation-depth gate (`pallas_i8.extrap_ok_*`) runs per call on the
+    host-visible obs, falling back to the generic evaluator when it
+    declines (deep non-linearized cubic extrapolation) or when a per-device
+    shard would be under the batch floor.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import dispatch as _dispatch
+    from ..ops import pallas_i8 as _pi8
+
+    if regular:
+        dims = tuple(int(d) for d in dims)
+        starts = jnp.asarray(grid_arrays[0])
+        steps = jnp.asarray(grid_arrays[1])
+        grids = None
+        garrs = (starts, steps)
+    else:
+        grids = tuple(jnp.asarray(g) for g in grid_arrays)
+        dims = tuple(int(g.shape[0]) for g in grids)
+        garrs = grids
+    vals = jnp.asarray(vals)
+    nmesh = mesh.devices.size
+
+    generic = sharded_evaluator(
+        mesh,
+        method=method,
+        regular=regular,
+        linearize_extrapolation=linearize_extrapolation,
+    )
+
+    # Build-time admission: the unified i8 predicate, probed with a
+    # representative per-device shard (the true per-shard size re-checks at
+    # call time below). np.empty: the probe never reads the values.
+    probe = np.empty(_dispatch.MIN_PALLAS_QUERIES, dtype=np.float64)
+    use_i8 = vals.dtype == jnp.float64 and _dispatch.i8_route(
+        dims, method, vals, probe
+    )
+    if not use_i8:
+        return lambda obs: generic(garrs, vals, obs, dims=dims)
+
+    pieces, ch, cl, sv, c0 = _pi8.prepare(dims, vals)
+
+    @jax.jit
+    def f_i8(vals, pieces, ch, cl, sv, obs):
+        def local(vals, pieces, ch, cl, sv, obs):
+            prep = (pieces, ch, cl, sv, c0)
+            if regular:
+                return _pi8.eval_regular(
+                    dims, starts, steps, vals, obs, method,
+                    linearize_extrapolation, prep=prep,
+                )
+            return _pi8.eval_rectilinear(
+                grids, vals, obs, method, linearize_extrapolation, prep=prep
+            )
+
+        sm = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), tuple(P(OBS_AXIS) for _ in obs)),
+            out_specs=P(OBS_AXIS),
+            check_vma=False,
+        )
+        return sm(vals, pieces, ch, cl, sv, tuple(obs))
+
+    def f(obs):
+        ok = obs[0].shape[0] // nmesh >= _dispatch.MIN_PALLAS_QUERIES and (
+            _pi8.extrap_ok_regular(
+                dims, starts, steps, obs, method, linearize_extrapolation
+            )
+            if regular
+            else _pi8.extrap_ok_rectilinear(
+                grids, obs, method, linearize_extrapolation
+            )
+        )
+        if not ok:
+            return generic(garrs, vals, obs, dims=dims)
+        return f_i8(vals, pieces, ch, cl, sv, obs)
+
+    return f
