@@ -18,6 +18,32 @@ import os
 import jax
 
 
+def host_feature_tag() -> str:
+    """Short fingerprint of this host's CPU feature set (plus jaxlib).
+
+    XLA:CPU AOT-caches executables compiled for the exact host ISA features;
+    loading them on a host lacking those features is unsafe (the
+    ``cpu_aot_loader`` "could lead to execution errors such as SIGILL"
+    warning wall). Keying the default persistent-cache path by this tag
+    turns cross-host artifact reuse into a clean cache MISS instead of a
+    hazard, and makes the warmed artifact (scripts/warm_cache.py)
+    self-describing about the host it is valid for."""
+    import hashlib
+    import platform
+
+    feats = [platform.machine(), getattr(jax, "__version__", "")]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 exposes "flags", arm64 "Features"
+                if line.startswith(("flags", "Features")):
+                    feats.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:  # pragma: no cover - non-procfs platforms
+        pass
+    return hashlib.blake2b("|".join(feats).encode(), digest_size=6).hexdigest()
+
+
 def _setup() -> None:
     if os.environ.get("INTERPN_TPU_NO_X64", "0") not in ("1", "true", "True"):
         jax.config.update("jax_enable_x64", True)
@@ -27,9 +53,13 @@ def _setup() -> None:
     # process start instant. (The TPU-native replacement for the reference's
     # PGO pipeline: instead of profile-guided re-compilation, ahead-of-time
     # compiled executables are cached and reused — see scripts/warm_cache.py.)
-    cache_dir = os.environ.get(
-        "INTERPN_TPU_CACHE_DIR", os.path.expanduser("~/.cache/interpn_tpu_xla")
-    )
+    # The default path is keyed by the host feature tag; an explicit
+    # INTERPN_TPU_CACHE_DIR is honored verbatim (the user owns the risk).
+    cache_dir = os.environ.get("INTERPN_TPU_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = os.path.expanduser(
+            os.path.join("~/.cache/interpn_tpu_xla", host_feature_tag())
+        )
     if cache_dir and cache_dir != "0":
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

