@@ -17,7 +17,11 @@ Methodology notes:
   size (11.2x @ 10k obs, BASELINE.md). vs_baseline = ours / that estimate.
 
 `python bench.py --full` prints a per-config table (method x dtype x size,
-plus the native CPU small-batch path and accuracy cross-checks) to stderr.
+plus the native CPU small-batch path and accuracy cross-checks) to stderr
+AND writes the whole table to a dated JSON artifact (default
+`benches/full_r<INTERPN_TPU_BENCH_ROUND>.json`, `--out PATH` to override) so
+per-engine regressions are diffable round over round — the headline JSON
+line alone only guards the 3D linear f32 path (VERDICT r3 weak #4).
 """
 
 from __future__ import annotations
@@ -142,6 +146,42 @@ def bench_device(method: str, dtype_name: str, ndims: int = 3, n_obs: int = N_OB
     }[method]
     dt = _scan_time(kern, ndims, n_obs, dtype)
     return n_obs / dt
+
+
+def bench_spline_device(ndims: int = 3, n_obs: int = N_OBS):
+    """Queries/sec for the global cubic B-spline (fused v3 engine, f32)."""
+    import jax.numpy as jnp
+
+    from interpn_tpu.ops import bspline
+
+    x, vals_np = _grid_host(ndims)
+    knots, coeffs = bspline.prep_bspline([x] * ndims, vals_np.ravel(), 3)
+    kt = tuple(jnp.asarray(t, jnp.float32) for t in knots)
+    cf = jnp.asarray(coeffs, jnp.float32)
+    dt = _scan_time(
+        lambda o: bspline.bspline_eval(kt, cf, o, 3), ndims, n_obs, jnp.float32
+    )
+    return n_obs / dt
+
+
+def bench_stack_device(nch: int = 8, ndims: int = 3, n_obs: int = N_OBS):
+    """Channel-queries/sec for an nch-table stack sharing one weight build."""
+    import jax.numpy as jnp
+
+    from interpn_tpu import ops
+
+    x, vals_np = _grid_host(ndims)
+    vals = jnp.asarray(
+        np.stack([vals_np.ravel() + i for i in range(nch)]), jnp.float32
+    )
+    dims = (GRID_N,) * ndims
+    starts = jnp.zeros(ndims, jnp.float32)
+    steps = jnp.full(ndims, x[1] - x[0], jnp.float32)
+    dt = _scan_time(
+        lambda o: ops.linear_regular_stack(dims, starts, steps, vals, o),
+        ndims, n_obs, jnp.float32,
+    )
+    return n_obs * nch / dt
 
 
 def bench_native(method: str, n_obs: int, ndims: int = 3):
@@ -302,20 +342,47 @@ def main():
         global R
         R = 4
         err = sys.stderr
+        table: dict[str, float] = {}
+
+        def row(name: str, qps):
+            if qps:
+                table[name] = round(qps / 1e6, 2)
+                print(f"# {name}: {qps/1e6:9.2f} Mq/s", file=err, flush=True)
+
         for method in ("linear", "cubic", "nearest"):
             for dt in ("f32", "f64"):
-                q = bench_device(method, dt)
-                print(f"# tpu {method}_{dt}_3d@1M: {q/1e6:9.1f} Mq/s", file=err)
+                row(f"tpu_{method}_{dt}_3d@1M", bench_device(method, dt))
         for method in ("linear", "cubic"):
-            q4 = bench_device(method, "f32", ndims=4)
-            print(f"# tpu {method}_f32_4d@1M: {q4/1e6:9.1f} Mq/s", file=err)
+            row(f"tpu_{method}_f32_4d@1M", bench_device(method, "f32", ndims=4))
+        # i8 MXU f64 flagship (20^4 cubic routes to pallas_i8 in auto mode)
+        row("tpu_cubic_f64_4d@1M", bench_device("cubic", "f64", ndims=4))
+        # fused B-spline engine (round 4)
+        row("tpu_cubic_spline_f32_3d@1M", bench_spline_device())
+        # stacked-table evaluation: Mq/s counts queries x channels
+        row("tpu_stack8_linear_f32_3d@1M", bench_stack_device())
         for method in ("linear", "cubic"):
             for n in (1, 1000):
-                q = bench_native(method, n)
-                if q:
-                    print(f"# native {method}_f64_3d@{n}: {q/1e6:9.2f} Mq/s", file=err)
-        print(f"# scipy RGI 3D linear f64 @1M: {scipy_qps/1e6:.2f} Mq/s", file=err)
-        print(f"# implied reference baseline:  {baseline/1e6:.2f} Mq/s", file=err)
+                row(f"native_{method}_f64_3d@{n}", bench_native(method, n))
+        row("scipy_rgi_linear_f64_3d@1M", scipy_qps)
+        row("implied_reference_baseline", baseline)
+        table["headline_qps"] = round(qps, 1)
+        table["bench_R_full"] = R
+
+        out_path = None
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+        else:
+            rnd = os.environ.get("INTERPN_TPU_BENCH_ROUND")
+            if rnd:
+                out_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benches", f"full_r{rnd}.json",
+                )
+        if out_path:
+            table["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            with open(out_path, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+            print(f"# wrote {out_path}", file=err)
 
     print(
         json.dumps(

@@ -285,3 +285,36 @@ def test_interpn_pchip_extension():
     )
     assert got32.dtype == np.float32
     assert _rel(got32.astype(np.float64), ref2) < 1e-4
+
+
+def test_pchip_value_nonlinearity_pins_no_fused_engine():
+    """pchip is NONLINEAR in the value table: f(a*v1 + b*v2) differs from
+    a*f(v1) + b*f(v2). Every fused/MXU engine here evaluates weights(x) @
+    table — a LINEAR functional of the table — so none can represent pchip,
+    and the precomputed-slope "separable Hermite" proposal only matches the
+    last-reduced axis (slopes elsewhere depend on already-reduced, hence
+    query-dependent, values). This pins the dispatch decision: gather tree
+    on every backend (benches/exp_pchip.py has the measured rates)."""
+    rng = np.random.default_rng(77)
+    dims = (6, 6)
+    g = [np.arange(d, dtype=float) for d in dims]
+    v1 = rng.standard_normal(dims)
+    v2 = rng.standard_normal(dims)
+    obs = [rng.uniform(0.2, 4.8, 64) for _ in dims]
+    import interpn_tpu as it
+
+    def f(v):
+        return it.interpn(obs, grids=g, vals=v, method="pchip")
+
+    combined = f(0.3 * v1 + 0.7 * v2)
+    superposed = 0.3 * f(v1) + 0.7 * f(v2)
+    # materially different, not fp noise
+    assert np.max(np.abs(combined - superposed)) > 1e-3
+
+    # the linear-in-data cubic Hermite family, by contrast, superposes
+    def h(v):
+        return it.interpn(obs, grids=g, vals=v, method="cubic")
+
+    np.testing.assert_allclose(
+        h(0.3 * v1 + 0.7 * v2), 0.3 * h(v1) + 0.7 * h(v2), atol=1e-12
+    )
