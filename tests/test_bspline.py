@@ -279,3 +279,43 @@ def test_interpn_spline_repeat_call_uses_cache(monkeypatch):
     r2 = it.interpn(obs, grids=gr, vals=v, method="cubic_spline")
     assert calls["n"] == 1
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_f32_spline_accuracy_class():
+    """Pins the documented f32 spline accuracy story (docs/api.md):
+    coefficients solve in f64, evaluation runs in the table dtype, so the
+    f32 error class is ~2e-6 x max|coefficients| — which is ~1e-6 relative
+    to the DATA for smooth tables (coefficients at data scale) and larger
+    only when short random axes amplify the not-a-knot coefficients."""
+    import interpn_tpu
+
+    rng = np.random.default_rng(123)
+    # smooth table: coefficients stay at data scale
+    x = np.linspace(0.0, 10.0, 20)
+    xg, yg, zg = np.meshgrid(x, x, x, indexing="ij")
+    vals = np.sin(xg) + yg * 0.37 + zg * 0.37
+    obs = [rng.uniform(0.0, 10.0, 4096) for _ in range(3)]
+    r64 = interpn_tpu.interpn(obs, grids=[x] * 3, vals=vals, method="cubic_spline")
+    r32 = interpn_tpu.interpn(
+        [o.astype(np.float32) for o in obs],
+        grids=[x.astype(np.float32)] * 3,
+        vals=vals.astype(np.float32),
+        method="cubic_spline",
+    )
+    assert r32.dtype == np.float32
+    rel = np.abs(r32.astype(np.float64) - r64).max() / np.abs(vals).max()
+    assert rel < 5e-6, rel
+
+    # adversarial short random axes: error tracks COEFFICIENT scale
+    grids = [np.sort(rng.uniform(-2, 2, 7)) for _ in range(2)]
+    v2 = rng.standard_normal((7, 7))
+    _, coeffs = bspline.prep_bspline(grids, v2.ravel(), 3)
+    obs2 = [rng.uniform(g[0], g[-1], 2048) for g in grids]
+    s64 = interpn_tpu.interpn(obs2, grids=grids, vals=v2, method="cubic_spline")
+    s32 = interpn_tpu.interpn(
+        [o.astype(np.float32) for o in obs2],
+        grids=[g.astype(np.float32) for g in grids],
+        vals=v2.astype(np.float32), method="cubic_spline",
+    )
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(s32.astype(np.float64) - s64).max() <= 5e-6 * cs
