@@ -42,7 +42,7 @@ if _PYDANTIC_FOUND:
         TensorSplineRegular,
     )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "__version__",
@@ -380,9 +380,9 @@ def interpn_stack(
             ct = jnp.asarray(
                 np.ascontiguousarray(coeffs.T).astype(dtype, copy=False)
             )
-            out = jax.vmap(
-                lambda c: _bspline.bspline_eval(knots_j, c, obs_j, k)
-            )(ct)
+            # one shared weight build for every channel on eligible f32 TPU
+            # traces (fused stack kernel); vmapped dispatch otherwise
+            out = _bspline.bspline_eval_stack(tuple(knots_j), ct, obs_j, k)
         return np.asarray(out, dtype=dtype).reshape((nch,) + outshape)
 
     vals_j = jnp.asarray(vals2)

@@ -242,6 +242,60 @@ def bspline_eval(knots, coeffs, obs, k: int):
     return _bspline_impl(knots, coeffs, obs, k)
 
 
+def bspline_eval_stack(knots, coeffs_stack, obs, k: int):
+    """Evaluate an (nch, prod(dims)) STACK of coefficient tables sharing
+    one knot set at the same points -> (nch, n).
+
+    Eligible f32 TPU traces fuse all channels behind ONE Cox-de Boor
+    weight build (`pallas_v3.eval_bspline_stack`, mirroring the core
+    families' stack kernels); everything else vmaps the single-table
+    evaluation, which itself dispatches (the f64 double-float engine has
+    no stack kernel — its channel cost is the contraction, not the weight
+    build, so vmap loses nothing structural there)."""
+    import os
+
+    import jax
+
+    from . import dispatch as _dispatch
+
+    obs0 = obs[0]
+    mode = os.environ.get("INTERPN_TPU_IMPL", "auto")
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    nch = int(coeffs_stack.shape[0])
+    if (
+        mode in ("auto", "pallas")
+        and getattr(obs0, "ndim", 1) == 1
+        and jax.default_backend() == "tpu"
+        and _dispatch._plain_trace(obs0)
+        and _dispatch._plain_trace(coeffs_stack)
+        and jnp.asarray(coeffs_stack).dtype == jnp.float32
+        and (mode == "pallas" or obs0.size >= _dispatch.MIN_PALLAS_QUERIES)
+        and (
+            mode == "pallas"
+            or np.prod(dims) <= _dispatch.MAX_PALLAS_GRID["cubic"]
+        )
+    ):
+        from . import pallas_v3 as _pv3
+
+        if _pv3.supported_stack(dims, nch, jnp.float32, f"bspline{k}"):
+            ng = len(knots)
+
+            def prim(*a):
+                return _pv3.eval_bspline_stack(
+                    a[:ng], a[ng], a[ng + 1:], k, _dispatch._pallas_passes()
+                )
+
+            def gat(*a):
+                return jax.vmap(
+                    lambda c: _bspline_gather(a[:ng], c, a[ng + 1:], k)
+                )(a[ng])
+
+            return _dispatch._with_gather_jvp(prim, gat)(
+                *knots, coeffs_stack, *obs
+            )
+    return jax.vmap(lambda c: bspline_eval(knots, c, obs, k))(coeffs_stack)
+
+
 def _spline_engine(knots, coeffs, obs, k: int):
     """The fused-engine route for this trace, or None for the gather tree."""
     import os

@@ -875,6 +875,35 @@ def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
     return out[:n]
 
 
+def eval_bspline_stack(knots, coeffs_stack, obs, k: int, passes: int = 6):
+    """Fused evaluation of an (nch, prod(dims)) B-spline coefficient stack
+    sharing one knot set: one Cox-de Boor weight build serves every
+    channel through the pre-weights stack kernel (cf. eval_regular_stack);
+    (nch, n) f32 out."""
+    from .bspline import spline_locs_weights
+
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    method = f"bspline{k}"
+    nch = int(coeffs_stack.shape[0])
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method, nch)
+    tq = _tile_q(max(nch * lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
+    obs32 = [o.astype(jnp.float32) for o in obs]
+    locs, ws = [], []
+    for loc, wlist in spline_locs_weights(knots32, obs32, k):
+        locs.append(loc)
+        ws.extend(wlist)
+    pad = n_pad - n
+    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    out = _pallas_v3_pre_stack(
+        dims, nch, method, locs_mat, w_mat, passes, coeffs_stack.reshape(-1)
+    )
+    return out[:, :n]
+
+
 def eval_regular_pre(
     dims, starts, steps, vals, obs, method: str, linearize: bool, passes: int = 6
 ):

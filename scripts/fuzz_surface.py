@@ -28,6 +28,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+import os
+
+os.environ.setdefault("INTERPN_TPU_CACHE_DIR", "0")  # see tests/conftest.py
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -246,10 +250,69 @@ def _bspline_round(rng: np.random.Generator, idx: int) -> None:
                    f"max abs {float(np.max(np.abs(a - b))):.3e}", **cfg)
 
 
+def _spline_model_round(rng: np.random.Generator, idx: int) -> None:
+    """TensorSpline model leg (round 4): the persistent classes must agree
+    with the one-shot `interpn()` path for the same method, survive the
+    JSON wire round-trip bit-for-bit, and classify bounds like numpy."""
+    method = str(rng.choice(["pchip", "cubic_spline", "quintic"]))
+    k = {"pchip": 3, "cubic_spline": 3, "quintic": 5}[method]
+    ndims = int(rng.integers(1, 4))
+    dims = [int(rng.integers(k + 1, k + 4)) for _ in range(ndims)]
+    regular = bool(rng.integers(0, 2))
+    if regular:
+        starts = rng.uniform(-2, 2, ndims)
+        steps = rng.uniform(0.2, 1.5, ndims)
+        grids = [s0 + st * np.arange(d) for s0, st, d in zip(starts, steps, dims)]
+    else:
+        grids = []
+        for d in dims:
+            g = np.sort(rng.uniform(-3, 3, d))
+            while np.any(np.diff(g) <= 1e-2):
+                g = np.sort(rng.uniform(-3, 3, d))
+            grids.append(g)
+    vals = rng.standard_normal(tuple(dims))
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    n = int(rng.integers(1, 48))
+    span = hi - lo
+    xi = rng.uniform(lo - 0.3 * span, hi + 0.3 * span, (n, ndims))
+    obs = [np.ascontiguousarray(xi[:, i]) for i in range(ndims)]
+    cfg = dict(leg="spline_model", method=method, ndims=ndims, dims=dims,
+               regular=regular, n=n)
+
+    if regular:
+        m = it.TensorSplineRegular.new(
+            dims, np.array([g[0] for g in grids]),
+            np.array([g[1] - g[0] for g in grids]), vals.ravel(),
+            method=method,
+        )
+    else:
+        m = it.TensorSplineRectilinear.new(grids, vals.ravel(), method=method)
+    a = m.eval(obs)
+    b = it.interpn(obs, grids=grids, vals=vals, method=method)
+    if not np.allclose(a, b, rtol=1e-12, atol=1e-12):
+        _fail(idx, f"spline model vs interpn: max abs "
+                   f"{float(np.max(np.abs(a - b))):.3e}", **cfg)
+    m2 = type(m).model_validate_json(m.model_dump_json())
+    if m2.model_dump_json() != m.model_dump_json():
+        _fail(idx, "spline model JSON round-trip not byte-identical", **cfg)
+    c = m2.eval(obs)
+    if not np.array_equal(np.asarray(a), np.asarray(c)):
+        _fail(idx, "spline model rebuilt-from-JSON eval differs", **cfg)
+    flags = m.check_bounds(obs, atol=1e-8)
+    want = np.array([
+        bool(np.any((obs[i] < lo[i] - 1e-8) | (obs[i] > hi[i] + 1e-8)))
+        for i in range(ndims)
+    ])
+    if not np.array_equal(np.asarray(flags), want):
+        _fail(idx, "spline model check_bounds mismatch", **cfg)
+
+
 def run_round(rng: np.random.Generator, idx: int) -> None:
     _one_dim_round(rng, idx)
     _compat_round(rng, idx)
     _bspline_round(rng, idx)
+    _spline_model_round(rng, idx)
     method = rng.choice(["linear", "cubic", "nearest"])
     max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
     ndims = int(rng.integers(1, max_nd + 1))

@@ -72,6 +72,25 @@ def test_round_trip_parity_all_families(dtype):
             np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol)
 
 
+@pytest.mark.parametrize("method", ["pchip", "cubic_spline", "quintic"])
+def test_round_trip_parity_spline_models(method):
+    """The extension methods share the persistent-model AOT lifecycle:
+    a TensorSpline artifact reproduces eval_jax without the model."""
+    x, vals = _grid(2, n=7)
+    dims = [len(x)] * 2
+    reg = it.TensorSplineRegular.new(
+        dims, np.full(2, x[0]), np.full(2, x[1] - x[0]), vals.ravel(),
+        method=method,
+    )
+    rect = it.TensorSplineRectilinear.new([x] * 2, vals.ravel(), method=method)
+    for model in (reg, rect):
+        served = aot.load(aot.export_eval(model, 48))
+        obs = _obs(48, np.float64, ndims=2)
+        got = np.asarray(served.eval_jax(obs))
+        want = np.asarray(model.eval_jax(obs))
+        np.testing.assert_allclose(got, want, rtol=2e-15, atol=2e-15)
+
+
 def test_padding_to_bucket_matches_exact_batch():
     model = _models(np.float64)[1]  # cubic regular
     blob = aot.export_eval(model, 64)

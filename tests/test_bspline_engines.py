@@ -192,3 +192,56 @@ def test_public_spline_path_uses_fused_engine(monkeypatch):
     got = it.interpn(obs, grids=grids, vals=vals, method="cubic_spline")
     assert calls, "fused f64 spline engine was not selected"
     assert np.isfinite(got).all()
+
+
+def test_stack_engine_parity_and_routing(monkeypatch):
+    """bspline_eval_stack fuses all channels behind one weight build on an
+    eligible f32 TPU trace (spy-asserted, interpret mode) and matches the
+    per-channel gather tree; f64 and tracer inputs fall back to vmap."""
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(21)
+    dims = (8, 7, 6)
+    grids = [np.sort(rng.uniform(-2, 2, d)) for d in dims]
+    nch, n = 3, 2048
+    vstack = rng.standard_normal((nch, int(np.prod(dims))))
+    knots, coeffs = bspline.prep_bspline(grids, np.ascontiguousarray(vstack.T), 3)
+    kt32 = tuple(jnp.asarray(t, jnp.float32) for t in knots)
+    ct32 = jnp.asarray(np.ascontiguousarray(coeffs.T), jnp.float32)
+    obs32 = tuple(
+        jnp.asarray(rng.uniform(g[0], g[-1], n), jnp.float32) for g in grids
+    )
+
+    calls = []
+    orig = v3.eval_bspline_stack
+    monkeypatch.setattr(
+        v3, "eval_bspline_stack",
+        lambda *a, **kw: calls.append(1) or orig(*a, **kw),
+    )
+    got = np.asarray(bspline.bspline_eval_stack(kt32, ct32, obs32, 3))
+    assert calls, "fused stack kernel was not selected"
+    assert got.shape == (nch, n)
+
+    ref = np.stack([
+        np.asarray(bspline._bspline_gather(kt32, ct32[c], obs32, 3))
+        for c in range(nch)
+    ])
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(got - ref).max() <= 2e-5 * cs
+
+    # f64 falls back to the vmapped dispatch (df64 has no stack kernel)
+    calls.clear()
+    kt64 = tuple(jnp.asarray(t) for t in knots)
+    ct64 = jnp.asarray(np.ascontiguousarray(coeffs.T))
+    obs64 = tuple(o.astype(jnp.float64) for o in obs32)
+    out64 = bspline.bspline_eval_stack(kt64, ct64, obs64, 3)
+    assert not calls and out64.shape == (nch, n)
+
+    # grad through the jitted fused route uses the gather tangents
+    f = jax.jit(lambda c: jnp.sum(bspline.bspline_eval_stack(kt32, c, obs32, 3)))
+    g = jax.grad(f)(ct32)
+    gref = jax.grad(
+        lambda c: jnp.sum(
+            jax.vmap(lambda cc: bspline._bspline_gather(kt32, cc, obs32, 3))(c)
+        )
+    )(ct32)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), rtol=2e-5, atol=2e-5)
