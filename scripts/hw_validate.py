@@ -243,6 +243,47 @@ def run() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
               f"bspline k={k}      relerr {err:.2e}", flush=True)
 
+    # Fused spline STACK kernel (round 4): nch coefficient tables share one
+    # Cox-de Boor weight build. Reference is the per-channel f32 GATHER
+    # tree on the SAME f32 inputs — that isolates the kernel under test
+    # (casting knots to f32 perturbs the basis itself on close knot
+    # spacings, so an f64 reference would measure the cast, not the
+    # kernel). Same 2e-5-of-coefficient-scale contract as
+    # tests/test_bspline_engines.py::test_stack_engine_parity_and_routing.
+    import jax
+    import jax.numpy as jnp
+
+    for k, dims, nch in ((3, (12, 11, 10), 4), (5, (8, 9), 3)):
+        grids_np = [np.sort(rng.uniform(0, 10, d)) + np.arange(d) * 1e-3
+                    for d in dims]
+        vstack = rng.standard_normal((nch, math.prod(dims)))
+        knots, coeffs = bs.prep_bspline(
+            grids_np, np.ascontiguousarray(vstack.T), k
+        )
+        # mild extrapolation (10% of domain span): random grids can have
+        # near-zero end spans, where the end-span polynomial at 1 unit out
+        # amplifies by (1/span)^k and the relerr would measure that
+        # amplification, not the kernel
+        obs_np = [
+            rng.uniform(g[0] - 0.1 * (g[-1] - g[0]),
+                        g[-1] + 0.1 * (g[-1] - g[0]), 65536)
+            for g in grids_np
+        ]
+        kt32 = tuple(jnp.asarray(t, jnp.float32) for t in knots)
+        ct32 = jnp.asarray(np.ascontiguousarray(coeffs.T), jnp.float32)
+        obs32 = tuple(jnp.asarray(o, jnp.float32) for o in obs_np)
+        out = np.asarray(bs.bspline_eval_stack(kt32, ct32, obs32, k))
+        gather = jax.jit(bs._bspline_gather, static_argnums=3)
+        ref = np.stack([
+            np.asarray(gather(kt32, ct32[c], obs32, k)) for c in range(nch)
+        ])
+        scale = max(float(np.max(np.abs(ref))), float(np.max(np.abs(coeffs))), 1e-30)
+        err = float(np.max(np.abs(out - ref))) / scale
+        ok = err <= 2e-5
+        failures += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {'x'.join(map(str, dims)):>16s} "
+              f"bspline-stack k={k} nch={nch} relerr {err:.2e}", flush=True)
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return failures
 
