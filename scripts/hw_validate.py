@@ -250,9 +250,6 @@ def run() -> int:
     # spacings, so an f64 reference would measure the cast, not the
     # kernel). Same 2e-5-of-coefficient-scale contract as
     # tests/test_bspline_engines.py::test_stack_engine_parity_and_routing.
-    import jax
-    import jax.numpy as jnp
-
     for k, dims, nch in ((3, (12, 11, 10), 4), (5, (8, 9), 3)):
         grids_np = [np.sort(rng.uniform(0, 10, d)) + np.arange(d) * 1e-3
                     for d in dims]
