@@ -342,7 +342,7 @@ def main():
         global R
         R = 4
         err = sys.stderr
-        table: dict[str, float] = {}
+        table: dict[str, object] = {}
 
         def row(name: str, qps):
             if qps:
@@ -367,6 +367,32 @@ def main():
         row("implied_reference_baseline", baseline)
         table["headline_qps"] = round(qps, 1)
         table["bench_R_full"] = R
+
+        # At R=4 the relay's fixed dispatch cost (~25 ms/run, header note)
+        # is amortized over only 4 evals, deflating fast rows ~3x against
+        # kernel truth (a 3 ms kernel reads ~10 ms/eval). Time a no-work
+        # kernel the same way to measure that fixed cost, then publish
+        # overhead-corrected rows beside the raw ones: raw rows diff
+        # round-over-round at fixed R; *_kernel rows are the engine rates
+        # comparable with docs/perf.md. Rows where the kernel is not
+        # clearly above the noise of the correction (<10% of the scan) are
+        # left uncorrected.
+        import jax.numpy as jnp
+
+        o_dt = _scan_time(lambda o: o[0], 3, N_OBS, jnp.float32)
+        table["overhead_ms_per_eval"] = round(o_dt * 1e3, 3)
+        for name in [k for k in table if k.startswith("tpu_")]:
+            mult = 8 if name.startswith("tpu_stack8") else 1
+            dt = N_OBS * mult / (table[name] * 1e6)
+            dt_kernel = dt - o_dt
+            if dt_kernel > 0.1 * dt:
+                table[name + "_kernel"] = round(
+                    N_OBS * mult / dt_kernel / 1e6, 2
+                )
+        table["note"] = (
+            "raw tpu_* rows include overhead_ms_per_eval of fixed relay "
+            "dispatch per eval (R=4); *_kernel rows subtract it"
+        )
 
         out_path = None
         if "--out" in sys.argv:

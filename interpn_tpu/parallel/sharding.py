@@ -148,6 +148,10 @@ def prepared_evaluator(
 ):
     """Sharded evaluator specialized to one CONCRETE grid + value table.
 
+    For ``regular=True``, ``grid_arrays`` is ``(starts, steps)`` and
+    ``dims=`` (the grid shape) is required; for ``regular=False`` it is the
+    per-axis grid coordinate arrays and ``dims`` is inferred.
+
     Closes over `grid_arrays`/`vals` at build time and returns
     ``f(obs) -> out`` (obs sharded along the obs axis, output inherits the
     sharding). The payoff vs :func:`sharded_evaluator` is f64: under
@@ -172,6 +176,11 @@ def prepared_evaluator(
     from ..ops import pallas_i8 as _pi8
 
     if regular:
+        if dims is None:
+            raise TypeError(
+                "prepared_evaluator(regular=True) requires dims=: pass the "
+                "grid shape, with grid_arrays=(starts, steps)"
+            )
         dims = tuple(int(d) for d in dims)
         starts = jnp.asarray(grid_arrays[0])
         steps = jnp.asarray(grid_arrays[1])

@@ -371,3 +371,107 @@ def test_dispatch_engine_arms_interpret_mode(monkeypatch):
             assert np.array_equal(a, b)
         else:
             np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# interpn()/interpn_stack() residual branches (round 4): exactly-regular
+# grids (linspace spacings are not bitwise equal, so most suites autodetect
+# rectilinear and the regular arms stay dark), non-view out= buffers on the
+# extension methods, and the terminal dispatch/validation errors.
+# ---------------------------------------------------------------------------
+
+
+def _exact_regular_setup(dtype=np.float64, n=8, nch=3, nobs=17):
+    rng = itesting.rng_fixed_seed(5)
+    x = np.arange(float(n), dtype=dtype)  # exactly regular spacings
+    grids = [x, x]
+    vals = rng.standard_normal((nch, n, n)).astype(dtype)
+    obs = [
+        rng.uniform(0.0, n - 1.0, nobs).astype(dtype),
+        rng.uniform(0.0, n - 1.0, nobs).astype(dtype),
+    ]
+    return grids, vals, obs
+
+
+@pytest.mark.parametrize("method", ["linear", "nearest", "cubic"])
+def test_interpn_stack_regular_branch(method):
+    grids, vals, obs = _exact_regular_setup()
+    assert it._check_regular(grids)  # the arm under test
+    got = it.interpn_stack(obs, grids, vals, method=method)
+    for c in range(vals.shape[0]):
+        ref = it.interpn(obs, grids, vals[c].ravel(), method=method)
+        if method == "nearest":
+            np.testing.assert_array_equal(got[c], ref)
+        else:
+            np.testing.assert_allclose(got[c], ref, rtol=1e-13, atol=1e-13)
+
+
+def test_interpn_stack_pchip_regular_branch():
+    grids, vals, obs = _exact_regular_setup()
+    got = it.interpn_stack(obs, grids, vals, method="pchip")
+    for c in range(vals.shape[0]):
+        ref = it.interpn(obs, grids, vals[c].ravel(), method="pchip")
+        np.testing.assert_allclose(got[c], ref, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("regular", [True, False])
+def test_interpn_stack_check_bounds_arms(dtype, regular):
+    grids, vals, obs = _exact_regular_setup(dtype=dtype)
+    if not regular:
+        grids = [g.copy() for g in grids]
+        grids[0][1] += dtype(0.25)  # break exact regularity
+    # in-bounds passes...
+    got = it.interpn_stack(obs, grids, vals, check_bounds=True)
+    assert got.shape == (vals.shape[0], obs[0].shape[0])
+    # ...and a violating first axis raises the reference message
+    bad = [np.full(4, 1e3, dtype=dtype), obs[1][:4].copy()]
+    with pytest.raises(ValueError, match="violate interpolator bounds"):
+        it.interpn_stack(bad, grids, vals, check_bounds=True)
+
+
+def test_interpn_stack_obs_count_mismatch():
+    grids, vals, obs = _exact_regular_setup()
+    with pytest.raises(AssertionError, match="Dimension mismatch"):
+        it.interpn_stack(obs + [obs[0]], grids, vals)
+
+
+@pytest.mark.parametrize("regular", [True, False])
+def test_interpn_stack_unsupported_method(regular):
+    grids, vals, obs = _exact_regular_setup()
+    if not regular:
+        grids = [g.copy() for g in grids]
+        grids[0][1] += 0.25
+    with pytest.raises(ValueError, match="Unsupported method"):
+        it.interpn_stack(obs, grids, vals, method="akima")
+
+
+def test_interpn_nearest_f64_regular_arm():
+    grids, vals, obs = _exact_regular_setup()
+    got = it.interpn(obs, grids, vals[0].ravel(), method="nearest")
+    ref = it.interpn(
+        obs, [g + 0.0 for g in grids], vals[0].ravel(), method="nearest",
+        assume_regular=True,
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_interpn_unsupported_configuration():
+    grids, vals, obs = _exact_regular_setup()
+    with pytest.raises(ValueError, match="Unsupported interpolation"):
+        it.interpn(obs, grids, vals[0].ravel(), method="akima")
+
+
+@pytest.mark.parametrize("method", ["pchip", "cubic_spline", "quintic"])
+def test_interpn_extensions_non_view_out(method):
+    """A non-contiguous out= raveling to a copy must still receive results
+    (the fold-back branch of the in-place contract)."""
+    grids, vals, obs = _exact_regular_setup()
+    n = obs[0].shape[0]
+    backing = np.zeros((n, 2))
+    user_out = backing[:, 0::2].reshape(n)  # strided: ravel() copies
+    assert user_out.base is not None
+    res = it.interpn(obs, grids, vals[0].ravel(), method=method, out=user_out)
+    ref = it.interpn(obs, grids, vals[0].ravel(), method=method)
+    assert res is user_out
+    np.testing.assert_allclose(np.asarray(user_out), ref, rtol=0, atol=0)

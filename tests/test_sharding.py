@@ -406,3 +406,10 @@ class TestPreparedEvaluator:
         # inside the gate the same evaluator DOES use the engine
         out = f(parallel.shard_obs(obs, mesh))
         assert calls
+
+    def test_regular_requires_dims(self, mesh):
+        """regular=True with dims omitted must fail with a clear message,
+        not an opaque iteration TypeError (grid_arrays is (starts, steps))."""
+        x, vals, starts, steps, obs = self._case()
+        with pytest.raises(TypeError, match="requires dims="):
+            parallel.prepared_evaluator(mesh, (starts, steps), vals, method="cubic")
