@@ -175,6 +175,11 @@ def prepared_evaluator(
     from ..ops import dispatch as _dispatch
     from ..ops import pallas_i8 as _pi8
 
+    if method in ("pchip", "cubic_spline", "quintic"):
+        return _prepared_extension(
+            mesh, grid_arrays, vals, dims=dims, method=method, regular=regular
+        )
+
     if regular:
         if dims is None:
             raise TypeError(
@@ -249,3 +254,90 @@ def prepared_evaluator(
         return f_i8(vals, pieces, ch, cl, sv, obs)
 
     return f
+
+
+def _prepared_extension(mesh, grid_arrays, vals, *, dims, method, regular):
+    """Sharded evaluator for the extension methods (pchip / global splines).
+
+    These have no `sharded_evaluator` form: the splines require a CONCRETE
+    value table (the not-a-knot collocation solve runs on the host,
+    `ops/bspline.py`), so closing over build-time prep is the only shape
+    that works under `shard_map` — the same hoisting `prepared_evaluator`
+    does for the i8 engine. pchip needs no host prep but shares the
+    closure pattern. Collective-free by the same construction as the
+    reference families: coefficient state rides in replicated (`P()`),
+    each device evaluates its local query shard, outputs stay sharded.
+    On TPU the spline shard body engages the fused pallas engine exactly
+    like the single-chip path (`ops/bspline.py::_spline_engine`).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import bspline as _bspline
+    from ..ops import pchip as _pchip
+
+    if regular:
+        if dims is None:
+            raise TypeError(
+                "prepared_evaluator(regular=True) requires dims=: pass the "
+                "grid shape, with grid_arrays=(starts, steps)"
+            )
+        dims = tuple(int(d) for d in dims)
+        starts = np.asarray(grid_arrays[0])
+        steps = np.asarray(grid_arrays[1])
+        host_grids = [
+            starts[i] + steps[i] * np.arange(dims[i]) for i in range(len(dims))
+        ]
+    else:
+        host_grids = [np.asarray(g) for g in grid_arrays]
+        dims = tuple(len(g) for g in host_grids)
+    vals = np.asarray(vals)  # concrete by contract (host prep reads it)
+    dtype = vals.dtype
+
+    floor = {"pchip": 4, "cubic_spline": 4, "quintic": 6}[method]
+    if any(d < floor for d in dims):
+        raise AssertionError(f"All grids must have at least {floor} entries")
+
+    if method == "pchip":
+        state = (
+            tuple(jnp.asarray(g.astype(dtype, copy=False)) for g in host_grids),
+            jnp.asarray(vals.ravel()),
+        )
+        if regular:
+            starts_j = jnp.asarray(starts.astype(dtype, copy=False))
+            steps_j = jnp.asarray(steps.astype(dtype, copy=False))
+
+            def local(grids, v, obs):
+                return _pchip.pchip_regular(dims, starts_j, steps_j, v, obs)
+        else:
+
+            def local(grids, v, obs):
+                return _pchip.pchip_rectilinear(grids, v, obs)
+    else:
+        k = 3 if method == "cubic_spline" else 5
+        knots, coeffs = _bspline.prep_bspline_cached(
+            host_grids, vals.astype(np.float64, copy=False).ravel(), k
+        )
+        state = (
+            tuple(jnp.asarray(t.astype(dtype, copy=False)) for t in knots),
+            jnp.asarray(coeffs.astype(dtype, copy=False)),
+        )
+
+        def local(knots, coeffs, obs):
+            return _bspline.bspline_eval(knots, coeffs, obs, k)
+
+    @jax.jit
+    def f(arrs, coeff, obs):
+        sm = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                tuple(P() for _ in arrs),
+                P(),
+                tuple(P(OBS_AXIS) for _ in obs),
+            ),
+            out_specs=P(OBS_AXIS),
+            check_vma=False,
+        )
+        return sm(arrs, coeff, tuple(obs))
+
+    return lambda obs: f(state[0], state[1], obs)

@@ -413,3 +413,69 @@ class TestPreparedEvaluator:
         x, vals, starts, steps, obs = self._case()
         with pytest.raises(TypeError, match="requires dims="):
             parallel.prepared_evaluator(mesh, (starts, steps), vals, method="cubic")
+
+
+class TestPreparedExtensions:
+    """Sharded evaluation for the extension methods (round 4): pchip and the
+    global splines ride prepared_evaluator (host prep hoisted to build time,
+    coefficient state replicated, obs/output sharded, zero collectives)."""
+
+    @staticmethod
+    def _case(n=8192, seed=11):
+        x = np.linspace(0.0, 10.0, 12)
+        xg, yg = np.meshgrid(x, x, indexing="ij")
+        vals = np.sin(xg) + 0.3 * yg**2
+        rng = np.random.default_rng(seed)
+        obs = tuple(rng.uniform(0.0, 10.0, n) for _ in range(2))
+        return x, vals.ravel(), obs
+
+    @pytest.mark.parametrize("method", ["pchip", "cubic_spline", "quintic"])
+    @pytest.mark.parametrize("regular", [True, False])
+    def test_matches_single_chip(self, mesh, method, regular):
+        import interpn_tpu
+
+        x, vals, obs = self._case()
+        if regular:
+            x = np.arange(12.0)  # integer spacing: exactly regular
+            obs = tuple(o * 1.1 for o in obs)
+        f = parallel.prepared_evaluator(
+            mesh,
+            (np.zeros(2), np.ones(2)) if regular else (x, x),
+            vals,
+            dims=(12, 12) if regular else None,
+            method=method,
+            regular=regular,
+        )
+        obs_sh = parallel.shard_obs(obs, mesh)
+        out = np.asarray(f(obs_sh))
+        ref = interpn_tpu.interpn(
+            [np.asarray(o) for o in obs], [x, x], vals, method=method
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+    def test_output_sharding_and_no_collectives(self, mesh):
+        import re
+
+        x, vals, obs = self._case()
+        f = parallel.prepared_evaluator(
+            mesh, (x, x), vals, method="cubic_spline", regular=False
+        )
+        obs_sh = parallel.shard_obs(obs, mesh)
+        out = f(obs_sh)
+        assert out.sharding.spec == jax.sharding.PartitionSpec("obs")
+        assert len(out.sharding.device_set) == len(mesh.devices.ravel())
+
+        jf = jax.jit(f)
+        hlo = jf.lower(obs_sh).compile().as_text()
+        assert not re.findall(
+            r"all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all",
+            hlo,
+        )
+
+    def test_grid_floor(self, mesh):
+        x = np.linspace(0.0, 1.0, 5)
+        vals = np.zeros(25)
+        with pytest.raises(AssertionError, match="at least 6 entries"):
+            parallel.prepared_evaluator(
+                mesh, (x, x), vals, method="quintic", regular=False
+            )
