@@ -6,6 +6,7 @@ from .sharding import (
     obs_sharding,
     pad_to_multiple,
     prepared_evaluator,
+    prepared_stack_evaluator,
     replicated,
     shard_obs,
     sharded_evaluator,
@@ -17,6 +18,7 @@ __all__ = [
     "obs_sharding",
     "pad_to_multiple",
     "prepared_evaluator",
+    "prepared_stack_evaluator",
     "replicated",
     "shard_obs",
     "sharded_evaluator",

@@ -341,3 +341,154 @@ def _prepared_extension(mesh, grid_arrays, vals, *, dims, method, regular):
         return sm(arrs, coeff, tuple(obs))
 
     return lambda obs: f(state[0], state[1], obs)
+
+
+def prepared_stack_evaluator(
+    mesh,
+    grid_arrays,
+    vals,
+    *,
+    dims=None,
+    method: str = "linear",
+    regular: bool = True,
+    linearize_extrapolation: bool = True,
+):
+    """Sharded STACKED-table evaluation: `interpn_stack`'s device core on a
+    mesh.
+
+    nch value tables sharing one grid evaluate against each device's local
+    query shard in one fused launch (the shared per-query weight build of
+    `ops/stack.py`), with channel tables replicated and the obs axis
+    sharded. Returns ``f(obs) -> out`` with ``out`` shaped (nch, n), obs
+    axis sharded. Collective-free by the same construction as the scalar
+    evaluators. Typical workloads: vector fields (u, v, w at once) and
+    multi-band lookup tables served data-parallel over a pod.
+
+    `vals` carries the channel axis first — (nch, prod(dims)) or
+    (nch, *dims) — and must be concrete at build time (the spline methods
+    run their host collocation prep here; the reference methods probe
+    finiteness for engine admission). Extension methods follow
+    `prepared_evaluator`'s closure pattern.
+    """
+    import jax.numpy as jnp
+
+    if regular:
+        if dims is None:
+            raise TypeError(
+                "prepared_stack_evaluator(regular=True) requires dims=: pass "
+                "the grid shape, with grid_arrays=(starts, steps)"
+            )
+        dims = tuple(int(d) for d in dims)
+        starts = np.asarray(grid_arrays[0])
+        steps = np.asarray(grid_arrays[1])
+        host_grids = [
+            starts[i] + steps[i] * np.arange(dims[i]) for i in range(len(dims))
+        ]
+    else:
+        host_grids = [np.asarray(g) for g in grid_arrays]
+        dims = tuple(len(g) for g in host_grids)
+    vals = np.asarray(vals)
+    if vals.ndim < 2:
+        raise AssertionError("Dimension mismatch")
+    nch = vals.shape[0]
+    vals2 = vals.reshape(nch, -1)
+    dtype = vals2.dtype
+
+    if method in ("pchip", "cubic_spline", "quintic"):
+        floor = {"pchip": 4, "cubic_spline": 4, "quintic": 6}[method]
+        if any(d < floor for d in dims):
+            raise AssertionError(
+                f"All grids must have at least {floor} entries"
+            )
+
+    if method == "pchip":
+        from ..ops import pchip as _pchip
+
+        arrs = tuple(
+            jnp.asarray(g.astype(dtype, copy=False)) for g in host_grids
+        )
+        coeff = jnp.asarray(vals2)
+        if regular:
+            starts_j = jnp.asarray(starts.astype(dtype, copy=False))
+            steps_j = jnp.asarray(steps.astype(dtype, copy=False))
+
+            def local(arrs, v, obs):
+                return jax.vmap(
+                    lambda t: _pchip.pchip_regular(
+                        dims, starts_j, steps_j, t, obs
+                    )
+                )(v)
+        else:
+
+            def local(arrs, v, obs):
+                return jax.vmap(
+                    lambda t: _pchip.pchip_rectilinear(arrs, t, obs)
+                )(v)
+    elif method in ("cubic_spline", "quintic"):
+        from ..ops import bspline as _bspline
+
+        k = 3 if method == "cubic_spline" else 5
+        knots, coeffs = _bspline.prep_bspline_cached(
+            host_grids, np.ascontiguousarray(vals2.T, dtype=np.float64), k
+        )
+        arrs = tuple(
+            jnp.asarray(t.astype(dtype, copy=False)) for t in knots
+        )
+        coeff = jnp.asarray(
+            np.ascontiguousarray(coeffs.T).astype(dtype, copy=False)
+        )
+
+        def local(arrs, v, obs):
+            return _bspline.bspline_eval_stack(arrs, v, obs, k)
+    else:
+        from .. import ops as _ops
+
+        vf = bool(np.isfinite(vals2).all())
+        coeff = jnp.asarray(vals2)
+        if regular:
+            arrs = (
+                jnp.asarray(starts.astype(dtype, copy=False)),
+                jnp.asarray(steps.astype(dtype, copy=False)),
+            )
+            local = {
+                "linear": lambda a, v, o: _ops.linear_regular_stack(
+                    dims, a[0], a[1], v, o, vals_finite=vf
+                ),
+                "nearest": lambda a, v, o: _ops.nearest_regular_stack(
+                    dims, a[0], a[1], v, o, vals_finite=vf
+                ),
+                "cubic": lambda a, v, o: _ops.cubic_regular_stack(
+                    dims, a[0], a[1], v, o, linearize_extrapolation,
+                    vals_finite=vf,
+                ),
+            }[method]
+        else:
+            arrs = tuple(jnp.asarray(g) for g in host_grids)
+            local = {
+                "linear": lambda a, v, o: _ops.linear_rectilinear_stack(
+                    a, v, o, vals_finite=vf
+                ),
+                "nearest": lambda a, v, o: _ops.nearest_rectilinear_stack(
+                    a, v, o, vals_finite=vf
+                ),
+                "cubic": lambda a, v, o: _ops.cubic_rectilinear_stack(
+                    a, v, o, linearize_extrapolation, vals_finite=vf
+                ),
+            }[method]
+
+    @jax.jit
+    def f(arrs, coeff, obs):
+        sm = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                tuple(P() for _ in arrs),
+                P(),
+                tuple(P(OBS_AXIS) for _ in obs),
+            ),
+            out_specs=P(None, OBS_AXIS),
+            check_vma=False,
+        )
+        return sm(arrs, coeff, tuple(obs))
+
+    return lambda obs: f(arrs, coeff, obs)

@@ -479,3 +479,78 @@ class TestPreparedExtensions:
             parallel.prepared_evaluator(
                 mesh, (x, x), vals, method="quintic", regular=False
             )
+
+
+class TestPreparedStackEvaluator:
+    """Sharded multi-channel evaluation: prepared_stack_evaluator must match
+    interpn_stack per channel, keep (nch, obs) output sharding, and stay
+    collective-free."""
+
+    @staticmethod
+    def _case(nch=3, n=8192, seed=13):
+        x = np.arange(12.0)  # exactly regular
+        xg, yg = np.meshgrid(x, x, indexing="ij")
+        rng = np.random.default_rng(seed)
+        vals = np.stack(
+            [np.sin(xg + c) + 0.3 * yg**2 for c in range(nch)]
+        ).reshape(nch, -1)
+        obs = tuple(rng.uniform(0.0, 11.0, n) for _ in range(2))
+        return x, vals, obs
+
+    @pytest.mark.parametrize(
+        "method",
+        ["linear", "cubic", "nearest", "pchip", "cubic_spline", "quintic"],
+    )
+    @pytest.mark.parametrize("regular", [True, False])
+    def test_matches_interpn_stack(self, mesh, method, regular):
+        import interpn_tpu
+
+        x, vals, obs = self._case()
+        f = parallel.prepared_stack_evaluator(
+            mesh,
+            (np.zeros(2), np.ones(2)) if regular else (x, x),
+            vals,
+            dims=(12, 12) if regular else None,
+            method=method,
+            regular=regular,
+        )
+        obs_sh = parallel.shard_obs(obs, mesh)
+        out = f(obs_sh)
+        assert out.shape == (3, obs[0].shape[0])
+        ref = interpn_tpu.interpn_stack(
+            [np.asarray(o) for o in obs], [x, x], vals, method=method
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
+
+    def test_sharding_and_no_collectives(self, mesh):
+        import re
+
+        x, vals, obs = self._case()
+        f = parallel.prepared_stack_evaluator(
+            mesh, (x, x), vals, method="cubic_spline", regular=False
+        )
+        obs_sh = parallel.shard_obs(obs, mesh)
+        out = f(obs_sh)
+        assert out.sharding.spec == jax.sharding.PartitionSpec(None, "obs")
+        assert len(out.sharding.device_set) == len(mesh.devices.ravel())
+        hlo = jax.jit(f).lower(obs_sh).compile().as_text()
+        assert not re.findall(
+            r"all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all",
+            hlo,
+        )
+
+    def test_errors(self, mesh):
+        x, vals, obs = self._case()
+        with pytest.raises(TypeError, match="requires dims="):
+            parallel.prepared_stack_evaluator(
+                mesh, (np.zeros(2), np.ones(2)), vals, method="linear"
+            )
+        with pytest.raises(AssertionError, match="Dimension mismatch"):
+            parallel.prepared_stack_evaluator(
+                mesh, (x, x), vals.ravel(), regular=False
+            )
+        with pytest.raises(AssertionError, match="at least 6 entries"):
+            parallel.prepared_stack_evaluator(
+                mesh, (x[:5], x[:5]), vals[:, : 5 * 5], method="quintic",
+                regular=False,
+            )
