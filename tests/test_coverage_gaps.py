@@ -475,3 +475,71 @@ def test_interpn_extensions_non_view_out(method):
     ref = it.interpn(obs, grids, vals[0].ravel(), method=method)
     assert res is user_out
     np.testing.assert_allclose(np.asarray(user_out), ref, rtol=0, atol=0)
+
+
+def test_dispatch_i8_and_factorized_arms_interpret_mode(monkeypatch):
+    """The eager i8 MXU arms (linear regular/rectilinear, cubic
+    rectilinear) and the forced-factorized fallbacks execute end-to-end
+    with the backend spoofed. 64x64 clears the i8 cost model's MXU
+    preference where the 20x20 grid of the sibling test declines."""
+    from jax.experimental import pallas as pl
+
+    from interpn_tpu.ops import dispatch
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    n = 64
+    rng = itesting.rng_fixed_seed(29)
+    x = np.arange(float(n))
+    vals64 = rng.standard_normal(n * n)
+    nq = 2048
+    obs64 = tuple(jnp.asarray(rng.uniform(0, n - 1.0, nq)) for _ in range(2))
+    obs32 = tuple(o.astype(jnp.float32) for o in obs64)
+    j = jnp.asarray
+    dims = (n, n)
+    st, sp = jnp.zeros(2), jnp.ones(2)
+    g64 = (j(x),) * 2
+    g32 = (j(x, jnp.float32),) * 2
+    assert dispatch.i8_route(dims, "linear", j(vals64), obs64[0])
+
+    def gather_ref(fn):
+        monkeypatch.setenv("INTERPN_TPU_IMPL", "gather")
+        try:
+            return np.asarray(fn())
+        finally:
+            monkeypatch.delenv("INTERPN_TPU_IMPL")
+
+    cases = [
+        # (auto-routed engine arm, tolerance vs gather)
+        (lambda: dispatch.linear_regular(dims, st, sp, j(vals64), obs64),
+         1e-12),
+        (lambda: dispatch.linear_rectilinear(g64, j(vals64), obs64), 1e-12),
+        (lambda: dispatch.cubic_rectilinear(g64, j(vals64), obs64, True),
+         5e-11),
+        # f32 rectilinear cubic: the pallas pre-weights arm
+        (lambda: dispatch.cubic_rectilinear(
+            g32, j(vals64, jnp.float32), obs32, True), 5e-4),
+    ]
+    for fn, tol in cases:
+        got = np.asarray(fn())
+        ref = gather_ref(fn)
+        scale = np.abs(ref).max() + 1.0
+        np.testing.assert_allclose(got, ref, rtol=0, atol=tol * scale)
+
+    # forced-factorized fallback arms
+    monkeypatch.setenv("INTERPN_TPU_IMPL", "factorized")
+    for fn in (
+        lambda: dispatch.nearest_regular(dims, st, sp, j(vals64), obs64),
+        lambda: dispatch.nearest_rectilinear(g64, j(vals64), obs64),
+        lambda: dispatch.linear_regular(dims, st, sp, j(vals64), obs64),
+        lambda: dispatch.linear_rectilinear(g64, j(vals64), obs64),
+        lambda: dispatch.cubic_rectilinear(g64, j(vals64), obs64, True),
+    ):
+        assert np.isfinite(np.asarray(fn())).all()
