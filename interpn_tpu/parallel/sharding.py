@@ -86,6 +86,16 @@ _METHODS = {
     ("cubic", False): lambda dims, g, v, obs, lin: ops.cubic_rectilinear(
         g, v, obs, lin
     ),
+    # pchip is the one extension that needs no host prep (its slope build is
+    # a pure device function of the table), so it also has a generic
+    # table-as-tracer form; the global splines exist only on
+    # prepared_evaluator (concrete-table collocation solve).
+    ("pchip", True): lambda dims, g, v, obs, lin: ops.pchip_regular(
+        dims, g[0], g[1], v, obs
+    ),
+    ("pchip", False): lambda dims, g, v, obs, lin: ops.pchip_rectilinear(
+        g, v, obs
+    ),
 }
 
 

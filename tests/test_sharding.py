@@ -554,3 +554,39 @@ class TestPreparedStackEvaluator:
                 mesh, (x[:5], x[:5]), vals[:, : 5 * 5], method="quintic",
                 regular=False,
             )
+
+
+def test_sharded_evaluator_pchip_generic(mesh):
+    """pchip has a generic table-as-tracer sharded form (no host prep):
+    matches the single-chip op and compiles collective-free."""
+    import jax.numpy as jnp
+
+    from interpn_tpu import ops
+
+    x = np.arange(10.0)
+    xg, yg = np.meshgrid(x, x, indexing="ij")
+    vals = (np.sin(xg) + 0.2 * yg**2).ravel()
+    rng = np.random.default_rng(31)
+    obs = tuple(rng.uniform(0.0, 9.0, 2048) for _ in range(2))
+
+    f = parallel.sharded_evaluator(mesh, method="pchip", regular=True)
+    obs_sh = parallel.shard_obs(obs, mesh)
+    garrs = (np.zeros(2), np.ones(2))
+    out = f(garrs, vals, obs_sh, dims=(10, 10))
+    assert out.sharding.spec == jax.sharding.PartitionSpec("obs")
+    hlo = f.lower(garrs, vals, obs_sh, dims=(10, 10)).compile().as_text()
+    assert not any(op in hlo for op in COLLECTIVES)
+
+    single = ops.pchip_regular(
+        (10, 10), jnp.zeros(2), jnp.ones(2), jnp.asarray(vals),
+        tuple(jnp.asarray(o) for o in obs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(single), rtol=1e-13, atol=1e-13
+    )
+
+    g = parallel.sharded_evaluator(mesh, method="pchip", regular=False)
+    out_r = g((x, x), vals, obs_sh)
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(single), rtol=1e-12, atol=1e-12
+    )
