@@ -367,6 +367,18 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
                     for j in range(footprint)
                 ]
                 return loc, ws
+        elif rect == "knots":
+            # tensor-product B-spline: in-kernel span + Cox-de Boor from
+            # the VMEM-resident knot columns (dims are coefficient counts;
+            # knot column k has dims[k] + K + 1 entries)
+            knotsT_ref, obs_ref, *refs = args
+            K = footprint - 1
+
+            def axw(k):
+                x = obs_ref[k, :].reshape(1, tq)
+                tlen = dims[k] + K + 1
+                tcol = knotsT_ref[:tlen, k].reshape(tlen, 1)
+                return _bspline_axis_weights(x, tcol, tlen, dims[k], K, tq)
         elif rect:
             gridsT_ref, obs_ref, *refs = args
 
@@ -648,6 +660,37 @@ def _rect_sel(gcol, loc, i, dim: int, tq: int):
     return jnp.sum(jnp.where(mask, gcol, 0.0), axis=0, keepdims=True)
 
 
+def _bspline_axis_weights(x, tcol, tlen: int, n: int, K: int, tq: int):
+    """(loc, [w_0..w_K]) for one spline axis, built IN-KERNEL.
+
+    x (1, tq) queries, tcol (tlen, 1) the axis's knot column. The de Boor
+    span is a branch-free count (`sum(t <= x) - 1`, == searchsorted
+    side="right" - 1) clamped to [K, n-1] exactly like
+    `ops.bspline.spline_locs_weights`; the 2K knot values the Cox-de Boor
+    recurrence touches come from one-hot select-sums over the (tlen, tq)
+    plane (`_rect_sel` — Mosaic has no per-lane gather), and the
+    recurrence itself runs in registers. This removes the pre-weights
+    route's HBM streaming of (K+1) weights + a loc per axis per query
+    (~5x the obs bytes for 3D cubic), the measured structural gap to the
+    Hermite kernel (docs/perf.md "Extension methods")."""
+    cnt = jnp.sum((tcol <= x).astype(_I32), axis=0, keepdims=True)
+    span = jnp.clip(cnt - 1, K, n - 1)
+    tk = {
+        off: _rect_sel(tcol, span, off, tlen, tq)
+        for off in range(-K + 1, K + 1)
+    }
+    N = [jnp.ones_like(x)] + [jnp.zeros_like(x) for _ in range(K)]
+    for j in range(1, K + 1):
+        saved = jnp.zeros_like(x)
+        for r in range(j):
+            den = tk[r + 1] - tk[r + 1 - j]
+            temp = N[r] / den
+            N[r] = saved + (tk[r + 1] - x) * temp
+            saved = (x - tk[r + 1 - j]) * temp
+        N[j] = saved
+    return span - K, N
+
+
 def _rect_axis_weights(x, gcol, dim: int, method: str, linearize: bool, tq: int):
     """(loc, [w...]) for one rectilinear axis; x (1, tq), gcol (dim, 1)."""
     from .cubic import _axis_reduce_rectilinear
@@ -791,6 +834,44 @@ def _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, vals):
     return out.reshape(n)
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _pallas_v3_knots(dims, knotsT, coeffs, obs_mat, passes, method):
+    """B-spline kernel launch with IN-KERNEL Cox-de Boor weights (the
+    `rect="knots"` kernel mode): operands are the padded (tmax, ndims)
+    knot matrix + the (ndims, tq) query tile, exactly mirroring the
+    rectilinear kernel's gridsT layout."""
+    ndims = len(dims)
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n = obs_mat.shape[1]
+    kernel = _build_kernel(dims, method, True, tq, passes, rect="knots")
+    v2 = coeffs.reshape(lead, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, lead, ksize, passes)
+    tmax = knotsT.shape[0]
+    need = (
+        lead * _pad(ksize) * 4
+        + 3 * lead * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = _compiler_params(need)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec(
+                    (tmax, ndims), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        )(knotsT.astype(jnp.float32), obs_mat, *tables)
+    return out.reshape(n)
+
+
 def _rect_locs_weights(grids, obs, method: str, linearize: bool):
     """Per-axis (loc, weights) in XLA f32 via the shared locate/basis
     helpers — exactly the same math the in-kernel construction evaluates."""
@@ -848,12 +929,44 @@ def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
     """Fused evaluation of a degree-k tensor-product B-spline (f32).
 
     The spline is linear in the coefficient table with separable per-axis
-    Cox-de Boor weights, so it rides the precomputed-weights kernel
-    exactly like the cubic family: spans + the k+1 basis values per axis
-    compute in XLA (`ops.bspline.spline_locs_weights`), the kernel places
-    them densely and contracts against the VMEM-resident coefficient
-    table. `dims` are coefficient counts per axis (== grid dims for the
-    interpolating spline)."""
+    Cox-de Boor weights. By default the span + the k+1 basis values build
+    IN-KERNEL from the VMEM-resident knot columns (`rect="knots"` mode —
+    the 12-byte query is all that streams per axis, like the Hermite
+    kernel); set INTERPN_TPU_SPLINE_PRE=1 to route the older
+    XLA-precomputed-weights kernel instead (`eval_bspline_pre`, which
+    streams (k+1) weights + a loc per axis per query). `dims` are
+    coefficient counts per axis (== grid dims for the interpolating
+    spline)."""
+    import os
+
+    if os.environ.get("INTERPN_TPU_SPLINE_PRE", "0") == "1":
+        return eval_bspline_pre(knots, coeffs, obs, k, passes)
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    method = f"bspline{k}"
+    n = obs[0].shape[0]
+    lead, ksize = _table_shape(dims, method)
+    tq = _tile_q(max(lead, ksize))
+    n_pad = ((n + tq - 1) // tq) * tq
+    tmax = max(d + k + 1 for d in dims)
+    knotsT = jnp.stack(
+        [
+            jnp.pad(jnp.asarray(t, jnp.float32), (0, tmax - t.shape[0]))
+            for t in knots
+        ],
+        axis=1,
+    )
+    obs_mat = jnp.stack(
+        [jnp.pad(o.astype(jnp.float32), (0, n_pad - n)) for o in obs]
+    )
+    out = _pallas_v3_knots(dims, knotsT, coeffs, obs_mat, passes, method)
+    return out[:n]
+
+
+def eval_bspline_pre(knots, coeffs, obs, k: int, passes: int = 6):
+    """B-spline evaluation through the precomputed-weights kernel: spans +
+    basis values compute in XLA (`ops.bspline.spline_locs_weights`) and
+    stream to the kernel, which only places and contracts them. Kept as
+    the measured A/B twin of the in-kernel route (docs/perf.md)."""
     from .bspline import spline_locs_weights
 
     dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
@@ -877,10 +990,11 @@ def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
 
 def eval_bspline_stack(knots, coeffs_stack, obs, k: int, passes: int = 6):
     """Fused evaluation of an (nch, prod(dims)) B-spline coefficient stack
-    sharing one knot set: one Cox-de Boor weight build serves every
-    channel through the pre-weights stack kernel (cf. eval_regular_stack);
-    (nch, n) f32 out."""
-    from .bspline import spline_locs_weights
+    sharing one knot set: ONE in-kernel Cox-de Boor weight build serves
+    every channel (cf. eval_regular_stack); (nch, n) f32 out.
+    INTERPN_TPU_SPLINE_PRE=1 routes the XLA-precomputed-weights stack
+    kernel instead (see `eval_bspline` for the measured A/B)."""
+    import os
 
     dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
     method = f"bspline{k}"
@@ -889,17 +1003,40 @@ def eval_bspline_stack(knots, coeffs_stack, obs, k: int, passes: int = 6):
     lead, ksize = _table_shape(dims, method, nch)
     tq = _tile_q(max(nch * lead, ksize))
     n_pad = ((n + tq - 1) // tq) * tq
-    knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
-    obs32 = [o.astype(jnp.float32) for o in obs]
-    locs, ws = [], []
-    for loc, wlist in spline_locs_weights(knots32, obs32, k):
-        locs.append(loc)
-        ws.extend(wlist)
     pad = n_pad - n
-    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
-    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
-    out = _pallas_v3_pre_stack(
-        dims, nch, method, locs_mat, w_mat, passes, coeffs_stack.reshape(-1)
+    if os.environ.get("INTERPN_TPU_SPLINE_PRE", "0") == "1":
+        from .bspline import spline_locs_weights
+
+        knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
+        obs32 = [o.astype(jnp.float32) for o in obs]
+        locs, ws = [], []
+        for loc, wlist in spline_locs_weights(knots32, obs32, k):
+            locs.append(loc)
+            ws.extend(wlist)
+        locs_mat = jnp.stack(
+            [jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs]
+        )
+        w_mat = jnp.stack(
+            [jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws]
+        )
+        out = _pallas_v3_pre_stack(
+            dims, nch, method, locs_mat, w_mat, passes,
+            coeffs_stack.reshape(-1),
+        )
+        return out[:, :n]
+    tmax = max(d + k + 1 for d in dims)
+    knotsT = jnp.stack(
+        [
+            jnp.pad(jnp.asarray(t, jnp.float32), (0, tmax - t.shape[0]))
+            for t in knots
+        ],
+        axis=1,
+    )
+    obs_mat = jnp.stack(
+        [jnp.pad(o.astype(jnp.float32), (0, pad)) for o in obs]
+    )
+    out = _pallas_v3_knots_stack(
+        dims, nch, knotsT, coeffs_stack.reshape(-1), obs_mat, passes, method
     )
     return out[:, :n]
 
@@ -1068,6 +1205,45 @@ def _pallas_v3_pre_stack(dims, nch, method, locs_mat, w_mat, passes, vals):
             out_specs=pl.BlockSpec((nch, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nch, n), jnp.float32),
         )(locs_mat, w_mat, *tables)
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _pallas_v3_knots_stack(dims, nch, knotsT, coeffs_stack, obs_mat, passes,
+                           method):
+    """Stack twin of `_pallas_v3_knots`: one in-kernel Cox-de Boor weight
+    build serves every channel (cf. `_pallas_v3_pre_stack`)."""
+    ndims = len(dims)
+    lead, ksize = _table_shape(dims, method, nch)
+    rows = nch * lead
+    tq = _tile_q(max(rows, ksize))
+    n = obs_mat.shape[1]
+    kernel = _build_kernel(dims, method, True, tq, passes, rect="knots",
+                           nch=nch)
+    v2 = coeffs_stack.reshape(rows, ksize).astype(jnp.float32)
+    tables, specs = _tables_and_specs(v2, rows, ksize, passes)
+    tmax = knotsT.shape[0]
+    need = (
+        rows * _pad(ksize) * 4
+        + 3 * rows * tq * 4
+        + _pad(ksize) * tq * 8
+    )
+    params = _compiler_params(need)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // tq,),
+            **params,
+            in_specs=[
+                pl.BlockSpec(
+                    (tmax, ndims), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+                *specs,
+            ],
+            out_specs=pl.BlockSpec((nch, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nch, n), jnp.float32),
+        )(knotsT.astype(jnp.float32), obs_mat, *tables)
     return out
 
 

@@ -245,3 +245,51 @@ def test_stack_engine_parity_and_routing(monkeypatch):
         )
     )(ct32)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,dims", [(3, (8, 7, 6)), (5, (7, 8)), (3, (11,))])
+def test_v3_knots_vs_pre_kernels(k, dims, monkeypatch):
+    """The in-kernel Cox-de Boor route (rect="knots", the default) and the
+    XLA-precomputed-weights route must agree to f32 rounding — same math,
+    different build site — and both match the gather tree."""
+    kt, coeffs, obs, ref, inside = _case(k, dims, seed=40 + k)
+    kt32 = tuple(t.astype(jnp.float32) for t in kt)
+    cf32 = jnp.asarray(coeffs, jnp.float32)
+    obs32 = tuple(o.astype(jnp.float32) for o in obs)
+    got_knots = np.asarray(v3.eval_bspline(kt32, cf32, obs32, k))
+    got_pre = np.asarray(v3.eval_bspline_pre(kt32, cf32, obs32, k))
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    # f32 rounding between build sites (XLA vs Mosaic fma/association),
+    # amplified by the adversarial short-axis quintic coefficients
+    assert np.abs(got_knots - got_pre).max() <= 4e-6 * cs
+    assert np.abs(got_knots - ref)[inside].max() <= 4e-6 * cs
+    # the env escape hatch routes the pre kernel through the public entry
+    monkeypatch.setenv("INTERPN_TPU_SPLINE_PRE", "1")
+    got_env = np.asarray(v3.eval_bspline(kt32, cf32, obs32, k))
+    np.testing.assert_array_equal(got_env, got_pre)
+
+
+def test_v3_stack_knots_vs_pre(monkeypatch):
+    """The stack kernel's in-kernel weight build agrees with the
+    precomputed-weights stack kernel and with per-channel single evals."""
+    k, dims, nch = 3, (8, 7), 4
+    rng = np.random.default_rng(77)
+    grids = [np.sort(rng.uniform(-2, 2, d)) for d in dims]
+    vals = rng.standard_normal((nch,) + dims).reshape(nch, -1)
+    knots, coeffs = bspline.prep_bspline(
+        grids, np.ascontiguousarray(vals.T, dtype=np.float64), k
+    )
+    kt32 = tuple(jnp.asarray(t, jnp.float32) for t in knots)
+    cf32 = jnp.asarray(np.ascontiguousarray(coeffs.T), jnp.float32)
+    obs = tuple(
+        jnp.asarray(rng.uniform(-2.2, 2.2, 512), jnp.float32) for _ in dims
+    )
+    got = np.asarray(v3.eval_bspline_stack(kt32, cf32, obs, k))
+    monkeypatch.setenv("INTERPN_TPU_SPLINE_PRE", "1")
+    pre = np.asarray(v3.eval_bspline_stack(kt32, cf32, obs, k))
+    monkeypatch.delenv("INTERPN_TPU_SPLINE_PRE")
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(got - pre).max() <= 4e-6 * cs
+    for c in range(nch):
+        single = np.asarray(v3.eval_bspline(kt32, cf32[c], obs, k))
+        assert np.abs(got[c] - single).max() <= 4e-6 * cs
