@@ -57,6 +57,14 @@ def _setup() -> None:
     # INTERPN_TPU_CACHE_DIR is honored verbatim (the user owns the risk).
     cache_dir = os.environ.get("INTERPN_TPU_CACHE_DIR")
     if cache_dir is None:
+        # The persistent cache is a TPU/PGO deployment artifact. XLA:CPU AOT
+        # entries warn spuriously on load even same-host (tuning
+        # pseudo-features like +prefer-no-gather never appear in the
+        # loader's feature probe), so a process pinned to CPU before import
+        # skips the default cache; an explicit INTERPN_TPU_CACHE_DIR still
+        # opts in.
+        if (getattr(jax.config, "jax_platforms", None) or "") == "cpu":
+            return
         cache_dir = os.path.expanduser(
             os.path.join("~/.cache/interpn_tpu_xla", host_feature_tag())
         )

@@ -46,6 +46,7 @@ The dispatcher (ops/dispatch.py) routes eligible TPU traces here.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -371,14 +372,16 @@ def _build_kernel(dims, method: str, linearize: bool, tq: int, passes: int,
             # tensor-product B-spline: in-kernel span + Cox-de Boor from
             # the VMEM-resident knot columns (dims are coefficient counts;
             # knot column k has dims[k] + K + 1 entries)
-            knotsT_ref, obs_ref, *refs = args
+            knotsT_ref, shifts_ref, obs_ref, *refs = args
             K = footprint - 1
+            use_sel = os.environ.get("INTERPN_TPU_SPLINE_SEL", "0") == "1"
 
             def axw(k):
                 x = obs_ref[k, :].reshape(1, tq)
                 tlen = dims[k] + K + 1
                 tcol = knotsT_ref[:tlen, k].reshape(tlen, 1)
-                return _bspline_axis_weights(x, tcol, tlen, dims[k], K, tq)
+                sh = None if use_sel else shifts_ref[2 * K * k : 2 * K * (k + 1), :tlen]
+                return _bspline_axis_weights(x, tcol, sh, tlen, dims[k], K, tq)
         elif rect:
             gridsT_ref, obs_ref, *refs = args
 
@@ -660,25 +663,62 @@ def _rect_sel(gcol, loc, i, dim: int, tq: int):
     return jnp.sum(jnp.where(mask, gcol, 0.0), axis=0, keepdims=True)
 
 
-def _bspline_axis_weights(x, tcol, tlen: int, n: int, K: int, tq: int):
+def _shifted_knot_rows(knotsT, dims, K: int):
+    """(ndims*2K, tmax) f32 operand for the one-hot MXU knot fetch: row
+    k*2K + j holds knot column k shifted left by (j - K + 1), zero-filled
+    at the ends. The span is clamped to [K, n-1], so span + off always
+    lands inside the true knot vector — the zero fill is never selected."""
+    rows = []
+    for k in range(knotsT.shape[1]):
+        col = knotsT[:, k]
+        for off in range(-K + 1, K + 1):
+            if off > 0:
+                rows.append(jnp.pad(col[off:], (0, off)))
+            elif off < 0:
+                rows.append(jnp.pad(col[:off], (-off, 0)))
+            else:
+                rows.append(col)
+    return jnp.stack(rows)
+
+
+def _bspline_axis_weights(x, tcol, sh, tlen: int, n: int, K: int, tq: int):
     """(loc, [w_0..w_K]) for one spline axis, built IN-KERNEL.
 
-    x (1, tq) queries, tcol (tlen, 1) the axis's knot column. The de Boor
+    x (1, tq) queries, tcol (tlen, 1) the axis's knot column, sh the
+    (2K, tlen) pre-shifted zero-padded knot rows (`_shifted_knot_rows`),
+    or None to select each offset with a VPU select-sum plane instead
+    (INTERPN_TPU_SPLINE_SEL=1, the measured A/B twin). The de Boor
     span is a branch-free count (`sum(t <= x) - 1`, == searchsorted
     side="right" - 1) clamped to [K, n-1] exactly like
     `ops.bspline.spline_locs_weights`; the 2K knot values the Cox-de Boor
-    recurrence touches come from one-hot select-sums over the (tlen, tq)
-    plane (`_rect_sel` — Mosaic has no per-lane gather), and the
-    recurrence itself runs in registers. This removes the pre-weights
-    route's HBM streaming of (K+1) weights + a loc per axis per query
-    (~5x the obs bytes for 3D cubic), the measured structural gap to the
-    Hermite kernel (docs/perf.md "Extension methods")."""
+    recurrence touches come from ONE MXU contraction of the shifted rows
+    against the span one-hot — an exact selection at Precision.HIGHEST
+    (each product is value*1.0 or value*0.0; the f32 sum of one value and
+    exact zeros is order-independent) — and the recurrence itself runs in
+    registers. This keeps the pre-weights route's HBM win (only the query
+    streams per axis) while replacing its 2K per-offset (tlen, tq) select
+    planes, which dominated for ~100-entry knot columns, with one matmul
+    (docs/perf.md "Extension methods")."""
     cnt = jnp.sum((tcol <= x).astype(_I32), axis=0, keepdims=True)
     span = jnp.clip(cnt - 1, K, n - 1)
-    tk = {
-        off: _rect_sel(tcol, span, off, tlen, tq)
-        for off in range(-K + 1, K + 1)
-    }
+    if sh is None:
+        tk = {
+            off: _rect_sel(tcol, span, off, tlen, tq)
+            for off in range(-K + 1, K + 1)
+        }
+    else:
+        iota = jax.lax.broadcasted_iota(_I32, (tlen, tq), 0)
+        onehot = (iota == span).astype(jnp.float32)
+        tk_all = jnp.dot(
+            sh,
+            onehot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tk = {
+            off: tk_all[off + K - 1, :].reshape(1, tq)
+            for off in range(-K + 1, K + 1)
+        }
     N = [jnp.ones_like(x)] + [jnp.zeros_like(x) for _ in range(K)]
     for j in range(1, K + 1):
         saved = jnp.zeros_like(x)
@@ -848,10 +888,14 @@ def _pallas_v3_knots(dims, knotsT, coeffs, obs_mat, passes, method):
     v2 = coeffs.reshape(lead, ksize).astype(jnp.float32)
     tables, specs = _tables_and_specs(v2, lead, ksize, passes)
     tmax = knotsT.shape[0]
+    K = _FOOTPRINT[method] - 1
+    knots32 = knotsT.astype(jnp.float32)
+    shifts = _shifted_knot_rows(knots32, dims, K)
     need = (
         lead * _pad(ksize) * 4
         + 3 * lead * tq * 4
         + _pad(ksize) * tq * 8
+        + shifts.shape[0] * tmax * 4
     )
     params = _compiler_params(need)
     with jax.enable_x64(False):
@@ -863,12 +907,17 @@ def _pallas_v3_knots(dims, knotsT, coeffs, obs_mat, passes, method):
                 pl.BlockSpec(
                     (tmax, ndims), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec(
+                    (2 * K * ndims, tmax),
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 *specs,
             ],
             out_specs=pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        )(knotsT.astype(jnp.float32), obs_mat, *tables)
+        )(knots32, shifts, obs_mat, *tables)
     return out.reshape(n)
 
 
@@ -1223,10 +1272,14 @@ def _pallas_v3_knots_stack(dims, nch, knotsT, coeffs_stack, obs_mat, passes,
     v2 = coeffs_stack.reshape(rows, ksize).astype(jnp.float32)
     tables, specs = _tables_and_specs(v2, rows, ksize, passes)
     tmax = knotsT.shape[0]
+    K = _FOOTPRINT[method] - 1
+    knots32 = knotsT.astype(jnp.float32)
+    shifts = _shifted_knot_rows(knots32, dims, K)
     need = (
         rows * _pad(ksize) * 4
         + 3 * rows * tq * 4
         + _pad(ksize) * tq * 8
+        + shifts.shape[0] * tmax * 4
     )
     params = _compiler_params(need)
     with jax.enable_x64(False):
@@ -1238,12 +1291,17 @@ def _pallas_v3_knots_stack(dims, nch, knotsT, coeffs_stack, obs_mat, passes,
                 pl.BlockSpec(
                     (tmax, ndims), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec(
+                    (2 * K * ndims, tmax),
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec((ndims, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
                 *specs,
             ],
             out_specs=pl.BlockSpec((nch, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nch, n), jnp.float32),
-        )(knotsT.astype(jnp.float32), obs_mat, *tables)
+        )(knots32, shifts, obs_mat, *tables)
     return out
 
 

@@ -90,6 +90,24 @@ def test_df64_looped_kernel_shape():
     assert np.abs(got - ref).max() <= 1e-11 * cs
 
 
+def test_v3_select_sum_fallback(monkeypatch):
+    """INTERPN_TPU_SPLINE_SEL=1 fetches the in-kernel Cox-de Boor knots
+    with per-offset select-sum planes instead of the one-hot MXU
+    contraction (the measured A/B twin; bit-identical selection, see
+    pallas_v3._bspline_axis_weights). Distinct dims force a fresh trace —
+    the env var is read at kernel-build time."""
+    monkeypatch.setenv("INTERPN_TPU_SPLINE_SEL", "1")
+    kt, coeffs, obs, ref, inside = _case(3, (9, 6, 7), seed=77)
+    kt32 = tuple(t.astype(jnp.float32) for t in kt)
+    obs32 = tuple(o.astype(jnp.float32) for o in obs)
+    got = np.asarray(
+        v3.eval_bspline(kt32, jnp.asarray(coeffs, jnp.float32), obs32, 3)
+    )
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+    assert np.abs(got - ref)[inside].max() <= 2e-6 * cs
+    assert np.isfinite(got).all()
+
+
 def test_supported_gates():
     assert v3.supported((8, 8, 8), jnp.float32, "bspline3")
     assert v3.supported((8, 8, 8), jnp.float32, "bspline5")

@@ -355,3 +355,25 @@ def test_host_feature_tag_stable_and_keyed():
 
     if os.environ.get("INTERPN_TPU_CACHE_DIR") is None:
         assert jax.config.jax_compilation_cache_dir.endswith(tag)
+
+
+def test_cpu_pinned_process_skips_default_cache(monkeypatch):
+    """A process pinned to CPU before import skips the default persistent
+    cache (XLA:CPU AOT entries warn spuriously on load even same-host);
+    an explicit INTERPN_TPU_CACHE_DIR still opts in."""
+    import jax
+
+    from interpn_tpu import config
+
+    monkeypatch.delenv("INTERPN_TPU_CACHE_DIR", raising=False)
+    seen = {}
+    monkeypatch.setattr(
+        jax.config, "update", lambda k, v: seen.setdefault(k, v)
+    )
+    config._setup()
+    assert "jax_compilation_cache_dir" not in seen  # conftest pins CPU
+
+    monkeypatch.setenv("INTERPN_TPU_CACHE_DIR", "/tmp/itpu-cache-optin")
+    seen.clear()
+    config._setup()
+    assert seen.get("jax_compilation_cache_dir") == "/tmp/itpu-cache-optin"
