@@ -343,10 +343,12 @@ def main():
         R = 4
         err = sys.stderr
         table: dict[str, object] = {}
+        raw_qps: dict[str, float] = {}  # unrounded, for the *_kernel math
 
         def row(name: str, qps):
             if qps:
                 table[name] = round(qps / 1e6, 2)
+                raw_qps[name] = qps
                 print(f"# {name}: {qps/1e6:9.2f} Mq/s", file=err, flush=True)
 
         for method in ("linear", "cubic", "nearest"):
@@ -381,9 +383,12 @@ def main():
 
         o_dt = _scan_time(lambda o: o[0], 3, N_OBS, jnp.float32)
         table["overhead_ms_per_eval"] = round(o_dt * 1e3, 3)
-        for name in [k for k in table if k.startswith("tpu_")]:
+        # correct from the UNROUNDED qps (the table entry is rounded to 2
+        # decimals — back-computing from it injects up to ~0.5% and a row
+        # that rounds to 0.00 would divide by zero)
+        for name in [k for k in raw_qps if k.startswith("tpu_")]:
             mult = 8 if name.startswith("tpu_stack8") else 1
-            dt = N_OBS * mult / (table[name] * 1e6)
+            dt = N_OBS * mult / raw_qps[name]
             dt_kernel = dt - o_dt
             if dt_kernel > 0.1 * dt:
                 table[name + "_kernel"] = round(

@@ -687,7 +687,9 @@ def _bspline_axis_weights(x, tcol, sh, tlen: int, n: int, K: int, tq: int):
     x (1, tq) queries, tcol (tlen, 1) the axis's knot column, sh the
     (2K, tlen) pre-shifted zero-padded knot rows (`_shifted_knot_rows`),
     or None to select each offset with a VPU select-sum plane instead
-    (INTERPN_TPU_SPLINE_SEL=1, the measured A/B twin). The de Boor
+    (INTERPN_TPU_SPLINE_SEL=1, the measured A/B twin; read at TRACE time
+    in the kernel builder — flipping it needs a fresh process or distinct
+    shapes, see `eval_bspline`). The de Boor
     span is a branch-free count (`sum(t <= x) - 1`, == searchsorted
     side="right" - 1) clamped to [K, n-1] exactly like
     `ops.bspline.spline_locs_weights`; the 2K knot values the Cox-de Boor
@@ -985,7 +987,13 @@ def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
     XLA-precomputed-weights kernel instead (`eval_bspline_pre`, which
     streams (k+1) weights + a loc per axis per query). `dims` are
     coefficient counts per axis (== grid dims for the interpolating
-    spline)."""
+    spline).
+
+    The SPLINE_PRE / SPLINE_SEL env vars are read at TRACE time (here and
+    in the kernel builder): flipping them between calls with identical
+    shapes silently reuses the cached executable — use a fresh process or
+    distinct shapes to A/B them (the repo-wide jit/env gotcha,
+    CLAUDE.md)."""
     import os
 
     if os.environ.get("INTERPN_TPU_SPLINE_PRE", "0") == "1":

@@ -301,6 +301,11 @@ def _prepared_extension(mesh, grid_arrays, vals, *, dims, method, regular):
         host_grids = [np.asarray(g) for g in grid_arrays]
         dims = tuple(len(g) for g in host_grids)
     vals = np.asarray(vals)  # concrete by contract (host prep reads it)
+    if vals.size != int(np.prod(dims)):
+        # the spline branch would fail inside prep_bspline's reshape and
+        # the pchip branch only deep inside shard_map — raise the
+        # reference-style message up front instead
+        raise AssertionError("Dimension mismatch")
     dtype = vals.dtype
 
     floor = {"pchip": 4, "cubic_spline": 4, "quintic": 6}[method]
@@ -367,10 +372,14 @@ def prepared_stack_evaluator(
     mesh.
 
     nch value tables sharing one grid evaluate against each device's local
-    query shard in one fused launch (the shared per-query weight build of
-    `ops/stack.py`), with channel tables replicated and the obs axis
-    sharded. Returns ``f(obs) -> out`` with ``out`` shaped (nch, n), obs
-    axis sharded. Collective-free by the same construction as the scalar
+    query shard, with channel tables replicated and the obs axis sharded.
+    The linear-in-table methods (linear/nearest/cubic and the global
+    splines) run in one fused launch sharing a single per-query weight
+    build (`ops/stack.py`); ``pchip`` is nonlinear in the table (its
+    monotone slope limiter depends on the values), so its channels are
+    vmapped independent single-table evaluations — no shared weight build.
+    Returns ``f(obs) -> out`` with ``out`` shaped (nch, n), obs axis
+    sharded. Collective-free by the same construction as the scalar
     evaluators. Typical workloads: vector fields (u, v, w at once) and
     multi-band lookup tables served data-parallel over a pod.
 

@@ -480,6 +480,17 @@ class TestPreparedExtensions:
                 mesh, (x, x), vals, method="quintic", regular=False
             )
 
+    @pytest.mark.parametrize("method", ["pchip", "cubic_spline"])
+    def test_table_size_mismatch(self, mesh, method):
+        """A wrong-size table must raise the reference-style message at
+        build time, not an opaque reshape error inside shard_map
+        (ADVICE r4)."""
+        x, vals, obs = self._case()
+        with pytest.raises(AssertionError, match="Dimension mismatch"):
+            parallel.prepared_evaluator(
+                mesh, (x, x), vals[:-1], method=method, regular=False
+            )
+
 
 class TestPreparedStackEvaluator:
     """Sharded multi-channel evaluation: prepared_stack_evaluator must match
