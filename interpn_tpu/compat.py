@@ -61,9 +61,15 @@ Deliberate deviations (documented, not accidental):
   adapter applies the documented rule uniformly.
 * Complex values are unsupported.
 
-Computation runs in float64 (matching scipy's promotion — a float32
-``values`` array still yields float64 output); use the package's native API
-for float32-throughput paths.
+Computation runs in float64 by default (matching scipy's promotion — a
+float32 ``values`` array still yields float64 output).  Pass
+``dtype=np.float32`` (an extension kwarg; scipy has none) to opt into the
+fused float32 engines: everything — grids, values, queries — is cast to
+float32 and evaluation rides the same Pallas/MXU kernels as the native
+API (~10-15x the f64 throughput on TPU, see docs/perf.md), at float32
+accuracy (~1e-6 relative instead of ~1e-15).  The global spline methods
+still run their collocation *fit* in float64 and cast the coefficients,
+so the f32 error is evaluation-only.
 """
 
 from __future__ import annotations
@@ -90,16 +96,30 @@ def _bspline_core():
     return bspline.jitted_eval()
 
 
-def _as_points(points, values):
+def _resolve_dtype(dtype):
+    """Normalize the compat layer's dtype opt-in: None -> float64 (scipy
+    promotion), else float32/float64 only."""
+    if dtype is None:
+        return np.dtype(np.float64)
+    dt = np.dtype(dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise ValueError(
+            "dtype must be None (float64, scipy-compatible), float32, or "
+            f"float64; got {dt}"
+        )
+    return dt
+
+
+def _as_points(points, values, dtype=np.float64):
     """Validate grid axes, flip descending ones, return (grids, values)."""
     if hasattr(values, "ndim") and np.iscomplexobj(values):
         raise ValueError("complex values are not supported by interpn_tpu.compat")
-    values = np.asarray(values, dtype=np.float64)
+    values = np.asarray(values, dtype=dtype)
     if isinstance(points, np.ndarray) and points.ndim == 1:
         points = (points,)
     grids = []
     for i, p in enumerate(points):
-        p = np.ascontiguousarray(np.asarray(p, dtype=np.float64))
+        p = np.ascontiguousarray(np.asarray(p, dtype=dtype))
         if p.ndim != 1:
             raise ValueError(f"The points in dimension {i} must be 1-dimensional")
         d = np.diff(p)
@@ -157,6 +177,12 @@ class RegularGridInterpolator:
     cubic Hermite scheme; the ``linearize_extrapolation`` kwarg (default
     False) applies to it and switches out-of-bounds evaluation to the
     reference's linearized mode (``src/multicubic/regular.rs:553-561``).
+
+    Extension kwarg ``dtype`` (default None -> float64, scipy's promotion
+    rule): pass ``np.float32`` to run grids, values, queries, and output
+    in float32 on the fused f32 engines — the throughput path on TPU.
+    The spline methods' collocation fit stays float64; only evaluation is
+    cast.  Output dtype follows the choice.
     """
 
     def __init__(
@@ -168,8 +194,10 @@ class RegularGridInterpolator:
         fill_value=np.nan,
         *,
         linearize_extrapolation: bool = False,
+        dtype=None,
     ):
-        grids, values = _as_points(points, values)
+        self._dtype = _resolve_dtype(dtype)
+        grids, values = _as_points(points, values, self._dtype)
         _check_method(method, grids, values)
         if linearize_extrapolation and method != "hermite":
             # the kwarg selects the reference Hermite scheme's linearized
@@ -212,7 +240,9 @@ class RegularGridInterpolator:
     def _prepare_xi(self, xi):
         ndim = self._ndim
         if isinstance(xi, tuple):
-            arrs = np.broadcast_arrays(*(np.asarray(a, dtype=np.float64) for a in xi))
+            arrs = np.broadcast_arrays(
+                *(np.asarray(a, dtype=self._dtype) for a in xi)
+            )
             if len(arrs) != ndim:
                 raise ValueError(
                     f"The requested sample points xi have dimension "
@@ -221,7 +251,7 @@ class RegularGridInterpolator:
                 )
             xi = np.stack(arrs, axis=-1)
         else:
-            xi = np.asarray(xi, dtype=np.float64)
+            xi = np.asarray(xi, dtype=self._dtype)
             if xi.ndim == 1:
                 xi = xi.reshape(-1, 1) if ndim == 1 else xi.reshape(1, -1)
         if xi.ndim == 0 or xi.shape[-1] != ndim:
@@ -269,6 +299,15 @@ class RegularGridInterpolator:
                 int(np.prod(self.values.shape[:ndim])), -1
             )
             sp = bspline.prep_bspline(list(self.grid), vt, k)
+            if self._dtype == np.float32:
+                # fit ran float64 (prep_bspline casts internally); cast only
+                # the evaluation-side arrays so the f32 error is eval-only
+                # and the engine dispatch sees f32 coeffs -> fused Pallas
+                knots, coeffs = sp
+                sp = (
+                    [np.asarray(t, dtype=np.float32) for t in knots],
+                    np.asarray(coeffs, dtype=np.float32),
+                )
             self._splines[k] = sp
         return sp
 
@@ -376,9 +415,21 @@ def interpn(
     method: str = "linear",
     bounds_error: bool = True,
     fill_value=np.nan,
+    *,
+    dtype=None,
 ):
-    """scipy.interpolate.interpn-compatible one-shot helper."""
+    """scipy.interpolate.interpn-compatible one-shot helper.
+
+    ``dtype`` is this package's extension kwarg (see
+    :class:`RegularGridInterpolator`): ``np.float32`` opts evaluation into
+    the fused f32 engines; default None keeps scipy's float64 promotion.
+    """
     rgi = RegularGridInterpolator(
-        points, values, method=method, bounds_error=bounds_error, fill_value=fill_value
+        points,
+        values,
+        method=method,
+        bounds_error=bounds_error,
+        fill_value=fill_value,
+        dtype=dtype,
     )
     return rgi(xi)
