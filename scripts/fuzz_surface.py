@@ -35,11 +35,28 @@ os.environ.setdefault("INTERPN_TPU_CACHE_DIR", "0")  # see tests/conftest.py
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # prepared_stack leg needs a mesh
 
 import numpy as np
 
 import oracle  # tests/oracle.py
 import interpn_tpu as it
+
+# The spline-engine A/B leg runs the fused Pallas kernels in interpret mode
+# on the CPU backend (same trick as fuzz_parity.py / the engine test suites).
+# Harmless for the public-surface legs: the dispatcher never selects Pallas
+# on the CPU backend, so only the direct pallas_v3/df64 calls see this.
+from jax.experimental import pallas as pl
+
+_orig_pallas_call = pl.pallas_call
+
+
+def _interp_call(*args, **kwargs):
+    kwargs.setdefault("interpret", True)
+    return _orig_pallas_call(*args, **kwargs)
+
+
+pl.pallas_call = _interp_call
 
 CLASSES = {
     ("linear", True): it.MultilinearRegular,
@@ -308,11 +325,312 @@ def _spline_model_round(rng: np.random.Generator, idx: int) -> None:
         _fail(idx, "spline model check_bounds mismatch", **cfg)
 
 
+def _compat_xi_forms_round(rng: np.random.Generator, idx: int) -> None:
+    """xi-form leg (round 5): compat must give the same answers for every
+    scipy-accepted xi shape — (n, ndim) arrays, arbitrary (..., ndim)
+    leading shapes, tuples of broadcastable arrays — and the extension
+    kwarg dtype=np.float32 must track the f64 answer at f32 accuracy."""
+    from interpn_tpu import compat
+
+    ndims = int(rng.integers(1, 4))
+    dims = [int(rng.integers(6, 10)) for _ in range(ndims)]
+    grids = []
+    for d in dims:
+        g = np.sort(rng.uniform(-3, 3, d))
+        while np.any(np.diff(g) <= 5e-2):
+            g = np.sort(rng.uniform(-3, 3, d))
+        grids.append(g[::-1].copy() if rng.integers(0, 2) else g)
+    trailing = (int(rng.integers(2, 4)),) if rng.integers(0, 2) else ()
+    vals = rng.standard_normal(tuple(dims) + trailing)
+    method = str(rng.choice(
+        ["linear", "slinear", "nearest", "hermite", "cubic", "pchip"]
+    ))
+    lo = np.array([min(g[0], g[-1]) for g in grids])
+    hi = np.array([max(g[0], g[-1]) for g in grids])
+    span = hi - lo
+    a, b = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+    n = a * b
+    xi = rng.uniform(lo - 0.2 * span, hi + 0.2 * span, (n, ndims))
+    cfg = dict(leg="compat_xi", method=method, ndims=ndims, dims=dims,
+               trailing=trailing, n=n)
+
+    rgi = compat.RegularGridInterpolator(
+        tuple(grids), vals, method=method, bounds_error=False, fill_value=None
+    )
+    base = np.asarray(rgi(xi))
+
+    # tuple of full-length arrays == column-split of the same points
+    t = np.asarray(rgi(tuple(xi[:, i] for i in range(ndims))))
+    if not np.array_equal(t, base, equal_nan=True):
+        _fail(idx, "tuple xi form differs from (n, ndim) array", **cfg)
+
+    # arbitrary leading shape (a, b, ndim)
+    r = np.asarray(rgi(xi.reshape(a, b, ndims)))
+    want_shape = (a, b) + trailing
+    if r.shape != want_shape:
+        _fail(idx, f"(a,b,ndim) xi shape {r.shape} != {want_shape}", **cfg)
+    if not np.array_equal(r.reshape(base.shape), base, equal_nan=True):
+        _fail(idx, "(a,b,ndim) xi values differ", **cfg)
+
+    # broadcast tuple: per-axis vectors shaped for a cartesian product
+    if ndims >= 2:
+        axes = [np.sort(rng.uniform(lo[i], hi[i], int(rng.integers(2, 4))))
+                for i in range(ndims)]
+        shaped = []
+        for i, ax in enumerate(axes):
+            shp = [1] * ndims
+            shp[i] = ax.size
+            shaped.append(ax.reshape(shp))
+        bcast = np.asarray(rgi(tuple(shaped)))
+        mesh_pts = np.stack(
+            np.meshgrid(*axes, indexing="ij"), axis=-1
+        ).reshape(-1, ndims)
+        direct = np.asarray(rgi(mesh_pts)).reshape(bcast.shape)
+        if not np.array_equal(bcast, direct, equal_nan=True):
+            _fail(idx, "broadcast tuple xi differs from explicit meshgrid",
+                  **cfg)
+
+    # dtype=np.float32 extension kwarg: f32 output tracking the f64 answer
+    rgi32 = compat.RegularGridInterpolator(
+        tuple(grids), vals, method=method, bounds_error=False,
+        fill_value=None, dtype=np.float32,
+    )
+    r32 = np.asarray(rgi32(xi))
+    if r32.dtype != np.float32:
+        _fail(idx, f"dtype=f32 output dtype {r32.dtype}", **cfg)
+    scale = float(np.nanmax(np.abs(base))) + 1.0
+    finite = np.isfinite(base)
+    if not np.array_equal(finite, np.isfinite(r32)):
+        # nearest ties can flip at f32-rounded midpoints, but finiteness
+        # (NaN propagation) must match exactly for every method
+        _fail(idx, "dtype=f32 finiteness mask differs", **cfg)
+    d = float(np.max(np.abs(r32[finite] - base[finite]))) / scale if finite.any() else 0.0
+    # nearest can legitimately pick the other neighbor at an f32-rounded
+    # midpoint; bound the frequency instead of the magnitude there
+    if method == "nearest":
+        frac = float(np.mean(np.abs(r32[finite] - base[finite]) > 1e-6 * scale)) if finite.any() else 0.0
+        if frac > 0.2:
+            _fail(idx, f"dtype=f32 nearest flipped {frac:.0%} of points", **cfg)
+    elif not (d < 5e-4):
+        _fail(idx, f"dtype=f32 vs f64: rel {d:.3e}", **cfg)
+
+
+def _aot_round(rng: np.random.Generator, idx: int) -> None:
+    """AOT leg (round 5): export_eval -> load -> eval_jax must reproduce the
+    model's own eval at batch sizes bracketing every bucket boundary
+    (1, b-1, b, b+1, ...), reject batches beyond the largest bucket, and
+    pad/slice without perturbing any row."""
+    from interpn_tpu import aot
+
+    method = str(rng.choice(["linear", "cubic", "nearest",
+                             "pchip", "cubic_spline", "quintic"]))
+    floor = {"linear": 2, "cubic": 4, "nearest": 2,
+             "pchip": 4, "cubic_spline": 4, "quintic": 6}[method]
+    ndims = int(rng.integers(1, 4))
+    dims = [int(rng.integers(floor, floor + 3)) for _ in range(ndims)]
+    regular = bool(rng.integers(0, 2))
+    dtype = np.float64 if rng.integers(0, 2) else np.float32
+    if method in ("pchip", "cubic_spline", "quintic"):
+        dtype = np.float64  # spline prep is f64 by contract
+    starts = rng.uniform(-2, 2, ndims).astype(dtype)
+    steps = rng.uniform(0.3, 1.5, ndims).astype(dtype)
+    if regular:
+        grids = [starts[k] + steps[k] * np.arange(dims[k], dtype=dtype)
+                 for k in range(ndims)]
+    else:
+        grids = [
+            (np.cumsum(0.3 + rng.random(d)) + rng.uniform(-3, 0)).astype(dtype)
+            for d in dims
+        ]
+    vals = rng.standard_normal(int(np.prod(dims))).astype(dtype)
+    cfg = dict(leg="aot", method=method, ndims=ndims, dims=dims,
+               regular=regular, dtype=dtype.__name__)
+
+    if method in ("pchip", "cubic_spline", "quintic"):
+        if regular:
+            m = it.TensorSplineRegular.new(dims, starts, steps, vals,
+                                           method=method)
+        else:
+            m = it.TensorSplineRectilinear.new(grids, vals, method=method)
+    else:
+        cls = CLASSES[(method, regular)]
+        if method == "cubic":
+            args = (dims, starts, steps, vals) if regular else (grids, vals)
+            m = cls.new(*args, linearize_extrapolation=bool(rng.integers(0, 2)))
+        else:
+            m = cls.new(dims, starts, steps, vals) if regular else cls.new(grids, vals)
+
+    b1 = int(rng.integers(2, 9))
+    b2 = b1 + int(rng.integers(1, 24))
+    served = aot.load(aot.export_eval(m, [b1, b2]))
+    tol = 1e-12 if dtype == np.float64 else 1e-5
+
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    span = hi - lo
+    for n in sorted({1, b1 - 1, b1, b1 + 1, b2 - 1, b2}):
+        if n < 1:
+            continue
+        obs = [rng.uniform(lo[k] - 0.2 * span[k], hi[k] + 0.2 * span[k], n)
+               .astype(dtype) for k in range(ndims)]
+        got = np.asarray(served.eval_jax(obs))
+        want = np.asarray(m.eval(obs))
+        scale = max(1.0, float(np.max(np.abs(want))))
+        d = float(np.max(np.abs(got - want))) / scale
+        if not (d < tol):
+            _fail(idx, f"aot batch {n} (buckets {b1},{b2}): rel {d:.3e}", **cfg)
+    try:
+        served.eval_jax([np.zeros(b2 + 1, dtype) for _ in range(ndims)])
+    except ValueError:
+        pass
+    else:
+        _fail(idx, f"aot batch {b2 + 1} beyond largest bucket did not raise",
+              **cfg)
+
+
+_MESH = None
+
+
+def _get_mesh():
+    global _MESH
+    if _MESH is None:
+        from interpn_tpu import parallel
+
+        _MESH = parallel.make_mesh()
+    return _MESH
+
+
+def _stack_prepared_round(rng: np.random.Generator, idx: int) -> None:
+    """Sharded-stack leg (round 5): prepared_stack_evaluator on the 8-device
+    mesh must match interpn_stack per channel at non-divisible batch sizes
+    for every method family."""
+    from interpn_tpu import parallel
+
+    mesh = _get_mesh()
+    method = str(rng.choice(["linear", "cubic", "nearest",
+                             "pchip", "cubic_spline", "quintic"]))
+    floor = {"linear": 2, "cubic": 4, "nearest": 2,
+             "pchip": 4, "cubic_spline": 4, "quintic": 6}[method]
+    ndims = int(rng.integers(1, 3))
+    dims = [int(rng.integers(floor, floor + 3)) for _ in range(ndims)]
+    regular = bool(rng.integers(0, 2))
+    nch = int(rng.integers(2, 5))
+    starts = rng.uniform(-2, 2, ndims)
+    steps = rng.uniform(0.3, 1.5, ndims)
+    if regular:
+        grids = [starts[k] + steps[k] * np.arange(dims[k]) for k in range(ndims)]
+        grid_arrays = (starts, steps)
+    else:
+        grids = [np.cumsum(0.3 + rng.random(d)) + rng.uniform(-3, 0)
+                 for d in dims]
+        grid_arrays = tuple(grids)
+    vals = rng.standard_normal((nch, int(np.prod(dims))))
+    n = int(rng.integers(1, 200))  # rarely divisible by 8 — exercises padding
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    span = hi - lo
+    obs = tuple(rng.uniform(lo[k] - 0.2 * span[k], hi[k] + 0.2 * span[k], n)
+                for k in range(ndims))
+    cfg = dict(leg="stack_prepared", method=method, ndims=ndims, dims=dims,
+               regular=regular, nch=nch, n=n)
+
+    f = parallel.prepared_stack_evaluator(
+        mesh, grid_arrays, vals,
+        dims=tuple(dims) if regular else None,
+        method=method, regular=regular,
+    )
+    padded = [parallel.pad_to_multiple(o, 8) for o in obs]
+    obs_sh = parallel.shard_obs(tuple(p for p, _ in padded), mesh)
+    got = np.asarray(f(obs_sh))[:, : n]
+    want = np.asarray(
+        it.interpn_stack([np.asarray(o) for o in obs], grids, vals,
+                         method=method)
+    )
+    if got.shape != want.shape:
+        _fail(idx, f"stack shape {got.shape} vs {want.shape}", **cfg)
+    scale = max(1.0, float(np.max(np.abs(want))))
+    d = float(np.max(np.abs(got - want))) / scale
+    if not (d < 1e-11):
+        _fail(idx, f"prepared_stack vs interpn_stack: rel {d:.3e}", **cfg)
+
+
+def _spline_knots_ab_round(rng: np.random.Generator, idx: int) -> None:
+    """Spline-engine A/B leg (round 5, VERDICT items 2/9): the in-kernel
+    Cox-de Boor weights kernel (eval_bspline, the default since 27c824d),
+    the XLA pre-weights kernel (eval_bspline_pre), and the double-float
+    engine all against the gather stencil tree, in interpret mode, on
+    random shapes — the in-kernel mode landed late in round 4 with no fuzz
+    exposure."""
+    import jax.numpy as jnp
+
+    from interpn_tpu.ops import bspline
+    from interpn_tpu.ops import pallas_df64 as df
+    from interpn_tpu.ops import pallas_v3 as v3
+
+    k = int(rng.choice([3, 5]))
+    ndims = int(rng.integers(1, 4))
+    dims = tuple(int(rng.integers(k + 1, k + 5)) for _ in range(ndims))
+    grids = []
+    for d in dims:
+        g = np.sort(rng.uniform(-2, 2, d))
+        while np.any(np.diff(g) <= 5e-2):
+            g = np.sort(rng.uniform(-2, 2, d))
+        grids.append(g)
+    vals = rng.standard_normal(dims)
+    knots, coeffs = bspline.prep_bspline(grids, vals.ravel(), k)
+    n = int(rng.integers(16, 160))
+    lo = np.array([g[0] for g in grids])
+    hi = np.array([g[-1] for g in grids])
+    span = hi - lo
+    xi = rng.uniform(lo - 0.2 * span, hi + 0.2 * span, (n, ndims))
+    inside = np.all((xi >= lo) & (xi <= hi), axis=1)
+    obs = tuple(jnp.asarray(np.ascontiguousarray(xi[:, i]))
+                for i in range(ndims))
+    kt = tuple(jnp.asarray(t) for t in knots)
+    cfg = dict(leg="spline_ab", k=k, ndims=ndims, dims=dims, n=n,
+               n_inside=int(inside.sum()))
+
+    ref = np.asarray(bspline._bspline_gather(kt, jnp.asarray(coeffs), obs, k))
+    cs = max(float(np.abs(coeffs).max()), 1.0)
+
+    kt32 = tuple(t.astype(jnp.float32) for t in kt)
+    obs32 = tuple(o.astype(jnp.float32) for o in obs)
+    c32 = jnp.asarray(coeffs, jnp.float32)
+    got_knots = np.asarray(v3.eval_bspline(kt32, c32, obs32, k))
+    got_pre = np.asarray(v3.eval_bspline_pre(kt32, c32, obs32, k))
+    for name, got in (("in-kernel", got_knots), ("pre-weights", got_pre)):
+        if not np.isfinite(got).all():
+            _fail(idx, f"v3 {name}: non-finite output", **cfg)
+        if inside.any():
+            d = float(np.abs(got - ref)[inside].max()) / cs
+            if not (d < 5e-6):
+                _fail(idx, f"v3 {name} vs gather (inside): rel {d:.3e}", **cfg)
+    # the two f32 weight builds must agree with each other at f32 scale
+    if inside.any():
+        d = float(np.abs(got_knots - got_pre)[inside].max()) / cs
+        if not (d < 5e-6):
+            _fail(idx, f"v3 in-kernel vs pre-weights (inside): rel {d:.3e}",
+                  **cfg)
+
+    got_df = np.asarray(df.eval_bspline(kt, jnp.asarray(coeffs), obs, k))
+    if inside.any():
+        d = float(np.abs(got_df - ref)[inside].max()) / cs
+        if not (d < 1e-12):
+            _fail(idx, f"df64 vs gather (inside): rel {d:.3e}", **cfg)
+    d = float(np.abs(got_df - ref).max()) / cs
+    if not (d < 1e-10):  # extrapolated end-span amplification band
+        _fail(idx, f"df64 vs gather (overall): rel {d:.3e}", **cfg)
+
+
 def run_round(rng: np.random.Generator, idx: int) -> None:
     _one_dim_round(rng, idx)
     _compat_round(rng, idx)
     _bspline_round(rng, idx)
     _spline_model_round(rng, idx)
+    _compat_xi_forms_round(rng, idx)
+    _aot_round(rng, idx)
+    _stack_prepared_round(rng, idx)
+    _spline_knots_ab_round(rng, idx)
     method = rng.choice(["linear", "cubic", "nearest"])
     max_nd = 6 if method == "nearest" else 5  # keep oracle rounds fast
     ndims = int(rng.integers(1, max_nd + 1))
