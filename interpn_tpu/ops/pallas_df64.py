@@ -132,6 +132,34 @@ def supported(dims, method: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _round_mul(a, b):
+    """fl(a*b): the correctly-rounded product, robust to FMA contraction.
+
+    XLA:CPU's jit compiles with fp-contract=fast at the LLVM TargetMachine
+    level — invisible in every dump (HLO, MLIR, and LLVM IR all show plain
+    mul/add with no fast-math flags); only instruction selection fuses a
+    single-use fmul feeding an fadd/fsub into one vfmadd. HLO fusion
+    duplicates cheap producers into each consumer kernel, making the
+    product single-use there, so ``p + low`` compiles to fma(a, b, low) —
+    a SINGLE rounding where Dekker/Knuth compensation requires the rounded
+    p (fuzz seed 58123 round 0: a 1-D quintic with +/-871
+    adjacent-cancelling coefficients lost the whole low channel, 2.2e-8
+    relative vs the gather tree on CPU; the identical case on TPU hardware
+    reads 2.6e-15 — Mosaic compiles these primitives faithfully).
+
+    The fix adds a runtime ``a * 0`` term no pass can fold (a is not
+    provably finite): unfused it adds +/-0 (exact identity for every p,
+    including -0), and if ISel contracts either product into the add the
+    result is fl(a*b +/- 0) = fl(a*b) — exact either way. Gated to the CPU
+    backend at trace time so the TPU executable stays byte-identical to
+    the hardware-validated one. `a` must be a runtime tensor (a literal
+    would constant-fold the zero and reopen the pattern)."""
+    p = a * b
+    if jax.default_backend() == "cpu":
+        p = p + a * _F32(0.0)
+    return p
+
+
 def _two_sum(a, b):
     s = a + b
     bb = s - a
@@ -141,13 +169,15 @@ def _two_sum(a, b):
 
 def _veltkamp(a):
     # f32 has 24 mantissa bits -> split factor 2^12 + 1
-    c = _F32(4097.0) * a
+    # (_round_mul: a lone fusion-duplicated c feeding c - a would contract
+    # to fl(4096*a), degenerating the split to (a, 0) — see its docstring)
+    c = _round_mul(a, _F32(4097.0))
     hi = c - (c - a)
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    p = a * b
+    p = _round_mul(a, b)
     ahi, alo = _veltkamp(a)
     bhi, blo = _veltkamp(b)
     err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
@@ -191,7 +221,7 @@ def _df_madd(th, tl, ah, al, bh, bl):
       dims=(2,3,4) deep-negative-t point; the round-2 fuzzer caught it)."""
     ahh, ahl = _veltkamp(ah)
     bhh, bhl = _veltkamp(bh)
-    p = ah * bh
+    p = _round_mul(ah, bh)
     err = (((ahh * bhh - p) + ahh * bhl) + ahl * bhh) + ahl * bhl
     low = err + (ah * bl + al * bh)
     p, low = _df_norm(p, low)

@@ -311,3 +311,73 @@ def test_v3_stack_knots_vs_pre(monkeypatch):
     for c in range(nch):
         single = np.asarray(v3.eval_bspline(kt32, cf32[c], obs, k))
         assert np.abs(got[c] - single).max() <= 4e-6 * cs
+
+
+def test_df64_near_cancellation_quintic():
+    """Fuzz seed 58123 round 0 pinned: a 1-D quintic whose not-a-knot
+    coefficients carry +/-871 adjacent-cancelling terms. On CPU, XLA's
+    LLVM backend compiles with fp-contract=fast at the TargetMachine
+    level, and HLO fusion duplicates the product into each consumer
+    kernel (single-use there), so ``p + low`` used to contract to
+    fma(a, b, low) — one rounding instead of two — wiping the double-float
+    low channel (2.2e-8 relative vs 2.6e-15 for the identical case on TPU
+    hardware). _round_mul's runtime a*0 term keeps fl(a*b) exact under
+    either contraction choice."""
+    knots = np.array(
+        [-1.31354049] * 6
+        + [0.3537286, 0.4248704, 0.52182251]
+        + [1.89405187] * 6
+    )
+    coeffs = np.array([
+        4.36346804e-01, -8.71401680e+02, 8.68928869e+02, -1.59137663e+02,
+        1.33095085e+02, -1.07417554e+02, 2.74165433e+02, -1.77141578e+02,
+        -1.07698133e+00,
+    ])
+    k = 5
+    rng = np.random.default_rng(7)
+    lo, hi = knots[0], knots[-1]
+    span = hi - lo
+    x = rng.uniform(lo - 0.2 * span, hi + 0.2 * span, 110)
+    obs = (jnp.asarray(x),)
+    kt = (jnp.asarray(knots),)
+    ref = np.asarray(bspline._bspline_gather(kt, jnp.asarray(coeffs), obs, k))
+    got = np.asarray(df.eval_bspline(kt, jnp.asarray(coeffs), obs, k))
+    cs = float(np.abs(coeffs).max())
+    inside = (x >= lo) & (x <= hi)
+    assert np.abs(got - ref)[inside].max() <= 1e-13 * cs
+    assert np.abs(got - ref).max() <= 1e-12 * cs
+
+
+def test_df64_madd_chain_survives_cpu_jit():
+    """FMA-contraction canary: the 9-term _df_madd chain with cancelling
+    column magnitudes must give the same answer under jit as eagerly
+    (eager runs each op as its own kernel, so ISel never sees a fusable
+    mul+add pair; jit fuses the whole chain). Without _round_mul this
+    read 5.7e-5 absolute on a unit-scale result."""
+    n = 256
+    rng = np.random.default_rng(3)
+    C = np.array([0.43, -871.4, 868.9, -159.1, 133.1, -107.4, 274.2,
+                  -177.1, -1.08])
+    vh, vl = df._table_split(jnp.asarray(C), 1, 9)
+    W = rng.uniform(0, 1, (9, n))
+    wh, wl = df._split_f64(jnp.asarray(W))
+    manual = W.T @ C
+
+    def chain(whm, wlm, vhm, vlm):
+        th = jnp.zeros((1, n), jnp.float32)
+        tl = jnp.zeros((1, n), jnp.float32)
+        for j in range(9):
+            th, tl = df._df_madd(
+                th, tl,
+                vhm[:, j].reshape(1, 1), vlm[:, j].reshape(1, 1),
+                whm[j, :].reshape(1, n), wlm[j, :].reshape(1, n),
+            )
+        return df._two_sum(th, tl)
+
+    with jax.enable_x64(False):
+        e1, e2 = chain(wh, wl, vh, vl)
+        j1, j2 = jax.jit(chain)(wh, wl, vh, vl)
+    eager = (np.float64(np.asarray(e1)) + np.float64(np.asarray(e2)))[0]
+    jitted = (np.float64(np.asarray(j1)) + np.float64(np.asarray(j2)))[0]
+    assert np.abs(eager - manual).max() <= 1e-9
+    assert np.abs(jitted - manual).max() <= 1e-9
