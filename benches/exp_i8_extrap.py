@@ -2,7 +2,14 @@
 
 Sweeps per-axis extrapolation depth e (cells beyond both edges, all axes)
 against the oracle in interpret mode and prints fuzz-style relative error.
-Findings (2026-08-17, this sweep + fuzz seed 300 round 375):
+
+Re-run 2026-08-20 after the pallas_df64._round_mul fix (the CPU FMA
+contraction could have inflated every interpret-mode number here): the
+envelope is UNCHANGED — clean (<= 2e-14) through e=3 on every shape,
+cliff to 1.7e-9/4.0e-8 at e=4/6 on 4D and 1.6e-8/3.6e-8 on 6D. The cliff
+is genuine weight quantization, not the compilation artifact; the 2-cell
+cap keeps its 2x margin. Original findings (2026-08-17, this sweep + fuzz
+seed 300 round 375):
 
 * linear and LINEARIZED cubic: <= 1.5e-14 at every depth through e=6 on
   2-6D — weight dynamic range grows only linearly; ungated.
