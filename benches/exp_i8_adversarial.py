@@ -166,7 +166,12 @@ SHAPES = [
     (4, 5, 4, 4, 5, 4), # 6D — the round-4 fuzz shape
     (6, 6, 6, 6, 6, 6), # 6D larger
     (4, 4, 4, 4, 4, 4, 4),      # 7D
-    (3, 4, 3, 3, 4, 3, 3, 4),   # 8D
+    # 8D must keep every axis >= 4: cubic's 4-point stencil is a PUBLIC
+    # precondition (the model layer validates it; engines assume it), and
+    # a first sweep with 3-point axes produced O(1) nonsense on every
+    # cubic row while linear stayed clean — an invalid-input artifact,
+    # not an engine defect
+    (4, 4, 4, 4, 4, 4, 4, 4),   # 8D
 ]
 FAMILIES = [
     "alternating", "near_cancel", "spike_margin",

@@ -627,10 +627,14 @@ def _i8_adversarial_round(rng: np.random.Generator, idx: int) -> None:
     (VERDICT r5 item 1's permanent fuzz leg): a table family designed to
     hurt the quantization model (benches/exp_i8_adversarial.py), on an
     admitted shape, at per-axis extrapolation depths the per-batch gate
-    accepts — vs the host oracle. The worst measured in-gate error on
-    hardware is 7.5e-11 x max|v| (near_cancel, 4D, e=2 non-linearized
-    cubic; the df64 engine reads the same class there, so it is
-    extrapolation amplification, not quantization); gate at 4x that."""
+    accepts — vs the host oracle. Bound = the hardware-measured worst for
+    these shapes inside the sampled envelope with ~4x margin: 7.5e-11 x
+    max|v| at shallow depth, and deep linearized extrapolation reaching
+    3.5e-12 of the (amplified) output scale. The df64 engine measures
+    WORSE than i8 on every deep-extrapolation violating config (e.g. 7D
+    hf_sine e=6: 3.1e-9 vs 4.6e-10), so this is factorized-f64-engine
+    physics, not i8 quantization — docs/perf.md "f64 engine error
+    model"."""
     import jax.numpy as jnp
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benches"))
@@ -675,7 +679,7 @@ def _i8_adversarial_round(rng: np.random.Generator, idx: int) -> None:
         ref = np.array([of(*args, [o[i] for o in obs_np]) for i in range(n)])
     aerr = float(np.abs(got - ref).max())
     vmax = max(float(np.abs(vals).max()), 1.0)
-    if not (aerr <= 3e-10 * vmax or aerr <= 1e-13 * max(1.0, float(np.abs(ref).max()))):
+    if not (aerr <= 3e-10 * vmax or aerr <= 1e-11 * max(1.0, float(np.abs(ref).max()))):
         _fail(idx, f"i8 adversarial: abs {aerr:.3e} "
                    f"(rel_tab {aerr/vmax:.3e}, "
                    f"rel_out {aerr/max(1.0, float(np.abs(ref).max())):.3e})",
