@@ -358,9 +358,18 @@ def cubic_regular(
     if impl == "i8" and not _pi8.extrap_ok_regular(
         dims, starts, steps, obs, "cubic", lin
     ):
-        # deep non-linearized cubic extrapolation (or traced obs): the
-        # weight-quantization floor surfaces — demote to the df64 engine
-        impl = "df64" if _pdf.supported(tuple(dims), "cubic") else "gather"
+        if any(isinstance(x, jax.core.Tracer) for x in (*obs, starts, steps)):
+            # traced obs: depth unknowable; df64 serves the common jit
+            # envelope at ~1e-13 and 2-15x gather throughput
+            impl = "df64" if _pdf.supported(tuple(dims), "cubic") else "gather"
+        else:
+            # concrete deep non-linearized extrapolation: BOTH fused f64
+            # engines degrade under the weight dynamic range + output
+            # cancellation (df64 measured WORSE than i8 on every violating
+            # config — 7D hf_sine e=6: 3.1e-9 vs 4.6e-10 rel_out,
+            # benches/exp_i8_adversarial.py); only the gather tree keeps
+            # the 1e-13 contract here
+            impl = "gather"
     if impl == "i8":
         prep = _pi8.prepare(tuple(dims), vals)  # see linear_regular
         prim = lambda st, sp, v, *ob: _pi8.eval_regular(
@@ -397,7 +406,10 @@ def cubic_rectilinear(grids, vals, obs, linearize_extrapolation: bool, *, vals_f
     ng = len(grids)
     lin = bool(linearize_extrapolation)
     if impl == "i8" and not _pi8.extrap_ok_rectilinear(grids, obs, "cubic", lin):
-        impl = "df64" if _pdf.supported(dims, "cubic") else "gather"  # see cubic_regular
+        if any(isinstance(x, jax.core.Tracer) for x in (*obs, *grids)):
+            impl = "df64" if _pdf.supported(dims, "cubic") else "gather"
+        else:
+            impl = "gather"  # see cubic_regular: concrete deep extrapolation
     if impl == "i8":
         prep = _pi8.prepare(dims, vals)  # see linear_regular
         prim = lambda *a: _pi8.eval_rectilinear(

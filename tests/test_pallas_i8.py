@@ -511,3 +511,45 @@ def test_raw_eligibility_delegates_to_shared_predicate(monkeypatch):
     assert seen == [((4, 4), "linear")]
     monkeypatch.setattr(dispatch, "i8_route", lambda *a: False)
     assert raw._i8_eligible((4, 4), "linear", vals, obs0) is False
+
+
+def test_gate_demotion_targets(monkeypatch):
+    """Concrete deep-extrapolation batches demote to the GATHER tree, not
+    df64: the adversarial sweep (benches/exp_i8_adversarial.py) measured
+    df64 at the same or WORSE error than i8 on every deep-extrapolation
+    violating config (7D hf_sine e=6: 3.1e-9 vs 4.6e-10 rel_out), so only
+    gather keeps the 1e-13 contract there. Traced batches (depth
+    unknowable) still prefer df64 for the common jit envelope."""
+    import jax
+
+    from interpn_tpu.ops import dispatch, pallas_df64 as pdf
+
+    dims = (4, 5, 4, 4, 5, 4)
+    nd = len(dims)
+    rng = np.random.default_rng(11)
+    vals = jnp.asarray(rng.standard_normal(int(np.prod(dims))))
+    st, sp = jnp.zeros(nd), jnp.ones(nd)
+    deep = tuple(
+        jnp.asarray(rng.uniform(-4.0, d - 1 + 4.0, 2048)) for d in dims
+    )
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+
+    called = []
+    monkeypatch.setattr(
+        dispatch._pdf, "eval_regular",
+        lambda *a, **k: called.append("df64") or dispatch._cubic_reg_gather(
+            dims, st, sp, vals, deep, False),
+    )
+    monkeypatch.setattr(
+        dispatch._pi8, "eval_regular",
+        lambda *a, **k: called.append("i8"),
+    )
+    # concrete deep batch: neither fused engine may serve it
+    out = dispatch.cubic_regular(dims, st, sp, vals, deep, False)
+    assert called == [] and np.isfinite(np.asarray(out)).all()
+
+    # traced batch: df64 serves (depth unknowable at trace time)
+    jax.jit(
+        lambda s, p, v, *o: dispatch.cubic_regular(dims, s, p, v, o, False)
+    )(st, sp, vals, *deep)
+    assert "df64" in called and "i8" not in called
