@@ -42,7 +42,7 @@ if _PYDANTIC_FOUND:
         TensorSplineRegular,
     )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "__version__",
