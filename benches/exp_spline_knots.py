@@ -5,6 +5,15 @@ The pre route streams (k+1) weights + a loc per axis per query (~5x the
 obs bytes for 3D cubic, HBM-bound regime); the knots route streams only
 the query and builds the weights in-kernel from VMEM-resident knot
 columns. Run: python benches/exp_spline_knots.py
+
+Recorded result (v5e, 2026-08-19, docs/perf.md): pre is FASTER on small
+knot arrays (20^3 k=3: 247.4 vs 230.3 Mq/s; 12^4: 224.6 vs 205.3;
+20^2 k=5: 664.6 vs 499.8 — the weight recurrence is 2.5x deeper at k=5)
+but CLIFFS 75x on ~100-entry knot arrays (100^2 k=3: 4.9 vs 372.3),
+where XLA's per-query knot takes run at gather speed. Round 5 replaced
+the INTERPN_TPU_SPLINE_PRE env knob with an automatic dispatch on the
+static knot-column length (threshold measured by the --crossover sweep
+below; see `pallas_v3._spline_use_pre`).
 """
 
 import sys
@@ -47,6 +56,32 @@ def timed(fn, ndims, seeds=(0, 1, 2)):
     return best
 
 
+def crossover():
+    """Locate the knot-array size where the pre route's XLA weight build
+    collapses, to pin the automatic dispatch threshold
+    (`pallas_v3._SPLINE_PRE_TLEN`). tlen = gn + k + 1."""
+    cases = [(2, 3, gn) for gn in (20, 32, 40, 48, 56, 64, 80, 100)]
+    cases += [(2, 5, gn) for gn in (20, 32, 40, 48)]
+    cases += [(3, 3, gn) for gn in (20, 28, 36)]
+    for ndims, k, gn in cases:
+        x = np.linspace(0.0, 19.0, gn)
+        mesh = np.meshgrid(*([x] * ndims), indexing="ij")
+        vals = np.sin(mesh[0])
+        for m in mesh[1:]:
+            vals = vals + 0.37 * m
+        knots, coeffs = bspline.prep_bspline([x] * ndims, vals.ravel(), k)
+        kt = tuple(jnp.asarray(t, jnp.float32) for t in knots)
+        cf = jnp.asarray(coeffs, jnp.float32)
+        dt_k = timed(lambda o: v3._eval_bspline_knots(kt, cf, o, k), ndims)
+        dt_p = timed(lambda o: v3._eval_bspline_pre(kt, cf, o, k), ndims)
+        print(
+            f"{gn}^{ndims} k={k} tlen={gn+k+1:3d}: "
+            f"knots {N/dt_k/1e6:7.1f} Mq/s  pre {N/dt_p/1e6:7.1f} Mq/s  "
+            f"knots/pre {dt_p/dt_k:5.2f}x",
+            flush=True,
+        )
+
+
 def main():
     for ndims, k, gn in ((3, 3, 20), (2, 3, 100), (4, 3, 12), (2, 5, 20)):
         x = np.linspace(0.0, 19.0, gn)
@@ -57,8 +92,8 @@ def main():
         knots, coeffs = bspline.prep_bspline([x] * ndims, vals.ravel(), k)
         kt = tuple(jnp.asarray(t, jnp.float32) for t in knots)
         cf = jnp.asarray(coeffs, jnp.float32)
-        dt_k = timed(lambda o: v3.eval_bspline(kt, cf, o, k), ndims)
-        dt_p = timed(lambda o: v3.eval_bspline_pre(kt, cf, o, k), ndims)
+        dt_k = timed(lambda o: v3._eval_bspline_knots(kt, cf, o, k), ndims)
+        dt_p = timed(lambda o: v3._eval_bspline_pre(kt, cf, o, k), ndims)
         print(
             f"{gn}^{ndims} k={k}: knots {N/dt_k/1e6:7.1f} Mq/s  "
             f"pre {N/dt_p/1e6:7.1f} Mq/s  speedup {dt_p/dt_k:5.2f}x",
@@ -67,4 +102,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--crossover" in sys.argv:
+        crossover()
+    else:
+        main()

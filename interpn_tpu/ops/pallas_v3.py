@@ -976,28 +976,52 @@ def eval_rectilinear_pre(
     return out[:n]
 
 
-def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
-    """Fused evaluation of a degree-k tensor-product B-spline (f32).
+_SPLINE_PRE_TLEN = 48  # benches/exp_spline_knots.py --crossover (v5e)
 
-    The spline is linear in the coefficient table with separable per-axis
-    Cox-de Boor weights. By default the span + the k+1 basis values build
-    IN-KERNEL from the VMEM-resident knot columns (`rect="knots"` mode —
-    the 12-byte query is all that streams per axis, like the Hermite
-    kernel); set INTERPN_TPU_SPLINE_PRE=1 to route the older
-    XLA-precomputed-weights kernel instead (`eval_bspline_pre`, which
-    streams (k+1) weights + a loc per axis per query). `dims` are
-    coefficient counts per axis (== grid dims for the interpolating
-    spline).
 
-    The SPLINE_PRE / SPLINE_SEL env vars are read at TRACE time (here and
-    in the kernel builder): flipping them between calls with identical
-    shapes silently reuses the cached executable — use a fresh process or
-    distinct shapes to A/B them (the repo-wide jit/env gotcha,
-    CLAUDE.md)."""
-    import os
+def _spline_use_pre(dims, k: int) -> bool:
+    """True when the XLA-precomputed-weights build should serve this
+    spline shape: its per-query knot takes beat the in-kernel one-hot
+    weight build only while every knot column stays small. Measured on
+    v5e (benches/exp_spline_knots.py --crossover, 2026-08-21): pre is
+    +4-11% at k=3 / +15-37% at k=5 through tlen<=46, a wash at 52-60,
+    and COLLAPSES ~99x between tlen 60 and 68 (XLA's take lowering
+    flips to gather speed: 534.5 -> 4.9 Mq/s). Threshold 48 captures
+    the wins and sits a full step below the measured flip in case the
+    XLA heuristic shifts. Static at trace time (knot lengths are shape
+    information)."""
+    return max(d + k + 1 for d in dims) <= _SPLINE_PRE_TLEN
 
-    if os.environ.get("INTERPN_TPU_SPLINE_PRE", "0") == "1":
-        return eval_bspline_pre(knots, coeffs, obs, k, passes)
+
+def _bspline_pre_mats(knots, obs, k: int, tq: int):
+    """Spans + Cox-de Boor basis values computed in XLA
+    (`ops.bspline.spline_locs_weights`), padded and stacked for the
+    placement/contraction kernels (shared by the single and stack pre
+    routes)."""
+    from .bspline import spline_locs_weights
+
+    n = obs[0].shape[0]
+    pad = ((n + tq - 1) // tq) * tq - n
+    knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
+    obs32 = [o.astype(jnp.float32) for o in obs]
+    locs, ws = [], []
+    for loc, wlist in spline_locs_weights(knots32, obs32, k):
+        locs.append(loc)
+        ws.extend(wlist)
+    locs_mat = jnp.stack([jnp.pad(l.astype(jnp.int32), (0, pad)) for l in locs])
+    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    return locs_mat, w_mat
+
+
+def _eval_bspline_knots(knots, coeffs, obs, k: int, passes: int = 6):
+    """The in-kernel Cox-de Boor route (`rect="knots"`): branch-free span
+    count + one-hot knot selects from the VMEM-resident knot columns; the
+    12-byte query is all that streams per axis (like the Hermite kernel).
+
+    The SPLINE_SEL env var is read at TRACE time in the kernel builder:
+    flipping it between calls with identical shapes silently reuses the
+    cached executable — use a fresh process or distinct shapes to A/B it
+    (the repo-wide jit/env gotcha, CLAUDE.md)."""
     dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
     method = f"bspline{k}"
     n = obs[0].shape[0]
@@ -1019,40 +1043,49 @@ def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
     return out[:n]
 
 
-def eval_bspline_pre(knots, coeffs, obs, k: int, passes: int = 6):
-    """B-spline evaluation through the precomputed-weights kernel: spans +
-    basis values compute in XLA (`ops.bspline.spline_locs_weights`) and
-    stream to the kernel, which only places and contracts them. Kept as
-    the measured A/B twin of the in-kernel route (docs/perf.md)."""
-    from .bspline import spline_locs_weights
-
+def _eval_bspline_pre(knots, coeffs, obs, k: int, passes: int = 6):
+    """The XLA-precomputed-weights route: spans + basis values compute in
+    XLA and stream to the kernel ((k+1) weights + a loc per axis per
+    query), which only places and contracts them. Faster than the
+    in-kernel build on small knot columns (the dispatch regime,
+    `_spline_use_pre`); collapses 75x on ~100-entry columns."""
     dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
     method = f"bspline{k}"
-    n = obs[0].shape[0]
     lead, ksize = _table_shape(dims, method)
     tq = _tile_q(max(lead, ksize))
-    n_pad = ((n + tq - 1) // tq) * tq
-    knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
-    obs32 = [o.astype(jnp.float32) for o in obs]
-    locs, ws = [], []
-    for loc, wlist in spline_locs_weights(knots32, obs32, k):
-        locs.append(loc)
-        ws.extend(wlist)
-    pad = n_pad - n
-    locs_mat = jnp.stack([jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs])
-    w_mat = jnp.stack([jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws])
+    locs_mat, w_mat = _bspline_pre_mats(knots, obs, k, tq)
     out = _pallas_v3_pre(dims, method, locs_mat, w_mat, passes, coeffs)
-    return out[:n]
+    return out[: obs[0].shape[0]]
+
+
+def eval_bspline(knots, coeffs, obs, k: int, passes: int = 6):
+    """Fused evaluation of a degree-k tensor-product B-spline (f32).
+
+    The spline is linear in the coefficient table with separable per-axis
+    Cox-de Boor weights; two fused kernels differ only in WHERE the
+    weights build. Round 5 replaced the INTERPN_TPU_SPLINE_PRE env knob
+    with an automatic dispatch on the static knot-column length
+    (`_spline_use_pre`, threshold measured on hardware by
+    benches/exp_spline_knots.py --crossover): small knot columns take the
+    XLA-precomputed-weights kernel (`_eval_bspline_pre`, measurably
+    faster there), larger ones the in-kernel Cox-de Boor build
+    (`_eval_bspline_knots`, no cliff — the pre route's per-query XLA knot
+    takes collapse 75x at ~100 entries). Both routes stay under
+    cross-parity tests and the fuzz A/B leg. `dims` are coefficient
+    counts per axis (== grid dims for the interpolating spline)."""
+    dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
+    if _spline_use_pre(dims, k):
+        return _eval_bspline_pre(knots, coeffs, obs, k, passes)
+    return _eval_bspline_knots(knots, coeffs, obs, k, passes)
 
 
 def eval_bspline_stack(knots, coeffs_stack, obs, k: int, passes: int = 6):
     """Fused evaluation of an (nch, prod(dims)) B-spline coefficient stack
-    sharing one knot set: ONE in-kernel Cox-de Boor weight build serves
-    every channel (cf. eval_regular_stack); (nch, n) f32 out.
-    INTERPN_TPU_SPLINE_PRE=1 routes the XLA-precomputed-weights stack
-    kernel instead (see `eval_bspline` for the measured A/B)."""
-    import os
-
+    sharing one knot set: ONE weight build serves every channel (cf.
+    eval_regular_stack); (nch, n) f32 out. Dispatches between the
+    in-kernel and XLA-precomputed weight builds on the static knot-column
+    length like `eval_bspline` (round 5 replaced the
+    INTERPN_TPU_SPLINE_PRE env knob with `_spline_use_pre`)."""
     dims = tuple(int(t.shape[0]) - k - 1 for t in knots)
     method = f"bspline{k}"
     nch = int(coeffs_stack.shape[0])
@@ -1061,21 +1094,8 @@ def eval_bspline_stack(knots, coeffs_stack, obs, k: int, passes: int = 6):
     tq = _tile_q(max(nch * lead, ksize))
     n_pad = ((n + tq - 1) // tq) * tq
     pad = n_pad - n
-    if os.environ.get("INTERPN_TPU_SPLINE_PRE", "0") == "1":
-        from .bspline import spline_locs_weights
-
-        knots32 = [jnp.asarray(t, jnp.float32) for t in knots]
-        obs32 = [o.astype(jnp.float32) for o in obs]
-        locs, ws = [], []
-        for loc, wlist in spline_locs_weights(knots32, obs32, k):
-            locs.append(loc)
-            ws.extend(wlist)
-        locs_mat = jnp.stack(
-            [jnp.pad(loc.astype(jnp.int32), (0, pad)) for loc in locs]
-        )
-        w_mat = jnp.stack(
-            [jnp.pad(w.astype(jnp.float32), (0, pad)) for w in ws]
-        )
+    if _spline_use_pre(dims, k):
+        locs_mat, w_mat = _bspline_pre_mats(knots, obs, k, tq)
         out = _pallas_v3_pre_stack(
             dims, nch, method, locs_mat, w_mat, passes,
             coeffs_stack.reshape(-1),

@@ -555,12 +555,12 @@ def _stack_prepared_round(rng: np.random.Generator, idx: int) -> None:
 
 
 def _spline_knots_ab_round(rng: np.random.Generator, idx: int) -> None:
-    """Spline-engine A/B leg (round 5, VERDICT items 2/9): the in-kernel
-    Cox-de Boor weights kernel (eval_bspline, the default since 27c824d),
-    the XLA pre-weights kernel (eval_bspline_pre), and the double-float
-    engine all against the gather stencil tree, in interpret mode, on
-    random shapes — the in-kernel mode landed late in round 4 with no fuzz
-    exposure."""
+    """Spline-engine A/B leg (round 5, VERDICT items 2/9): both production
+    spline weight builds — in-kernel Cox-de Boor (_eval_bspline_knots) and
+    XLA-precomputed (_eval_bspline_pre), between which eval_bspline now
+    dispatches on the static knot-column length — and the double-float
+    engine, all against the gather stencil tree, in interpret mode, on
+    random shapes."""
     import jax.numpy as jnp
 
     from interpn_tpu.ops import bspline
@@ -596,8 +596,8 @@ def _spline_knots_ab_round(rng: np.random.Generator, idx: int) -> None:
     kt32 = tuple(t.astype(jnp.float32) for t in kt)
     obs32 = tuple(o.astype(jnp.float32) for o in obs)
     c32 = jnp.asarray(coeffs, jnp.float32)
-    got_knots = np.asarray(v3.eval_bspline(kt32, c32, obs32, k))
-    got_pre = np.asarray(v3.eval_bspline_pre(kt32, c32, obs32, k))
+    got_knots = np.asarray(v3._eval_bspline_knots(kt32, c32, obs32, k))
+    got_pre = np.asarray(v3._eval_bspline_pre(kt32, c32, obs32, k))
     for name, got in (("in-kernel", got_knots), ("pre-weights", got_pre)):
         if not np.isfinite(got).all():
             _fail(idx, f"v3 {name}: non-finite output", **cfg)

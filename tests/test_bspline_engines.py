@@ -266,30 +266,52 @@ def test_stack_engine_parity_and_routing(monkeypatch):
 
 
 @pytest.mark.parametrize("k,dims", [(3, (8, 7, 6)), (5, (7, 8)), (3, (11,))])
-def test_v3_knots_vs_pre_kernels(k, dims, monkeypatch):
-    """The in-kernel Cox-de Boor route (rect="knots", the default) and the
-    XLA-precomputed-weights route must agree to f32 rounding — same math,
-    different build site — and both match the gather tree."""
+def test_v3_knots_vs_pre_kernels(k, dims):
+    """The two production spline weight builds — in-kernel Cox-de Boor
+    (rect="knots") and XLA-precomputed (pre) — must agree to f32 rounding
+    (same math, different build site) and match the gather tree. Round 5
+    replaced the INTERPN_TPU_SPLINE_PRE env knob with a knot-length
+    dispatch between them (`v3._spline_use_pre`)."""
     kt, coeffs, obs, ref, inside = _case(k, dims, seed=40 + k)
     kt32 = tuple(t.astype(jnp.float32) for t in kt)
     cf32 = jnp.asarray(coeffs, jnp.float32)
     obs32 = tuple(o.astype(jnp.float32) for o in obs)
-    got_knots = np.asarray(v3.eval_bspline(kt32, cf32, obs32, k))
-    got_pre = np.asarray(v3.eval_bspline_pre(kt32, cf32, obs32, k))
+    got_knots = np.asarray(v3._eval_bspline_knots(kt32, cf32, obs32, k))
+    got_pre = np.asarray(v3._eval_bspline_pre(kt32, cf32, obs32, k))
     cs = max(float(np.abs(coeffs).max()), 1.0)
     # f32 rounding between build sites (XLA vs Mosaic fma/association),
     # amplified by the adversarial short-axis quintic coefficients
     assert np.abs(got_knots - got_pre).max() <= 4e-6 * cs
     assert np.abs(got_knots - ref)[inside].max() <= 4e-6 * cs
-    # the env escape hatch routes the pre kernel through the public entry
-    monkeypatch.setenv("INTERPN_TPU_SPLINE_PRE", "1")
-    got_env = np.asarray(v3.eval_bspline(kt32, cf32, obs32, k))
-    np.testing.assert_array_equal(got_env, got_pre)
 
 
-def test_v3_stack_knots_vs_pre(monkeypatch):
-    """The stack kernel's in-kernel weight build agrees with the
-    precomputed-weights stack kernel and with per-channel single evals."""
+def test_v3_spline_dispatch_threshold(monkeypatch):
+    """eval_bspline routes by the static knot-column length: at/below
+    _SPLINE_PRE_TLEN the XLA-precomputed build serves (bit-identical to
+    _eval_bspline_pre), above it the in-kernel build (bit-identical to
+    _eval_bspline_knots)."""
+    kt, coeffs, obs, _, _ = _case(3, (8, 7), seed=9)
+    kt32 = tuple(t.astype(jnp.float32) for t in kt)
+    cf32 = jnp.asarray(coeffs, jnp.float32)
+    obs32 = tuple(o.astype(jnp.float32) for o in obs)
+    tmax = max(t.shape[0] for t in kt32)
+    assert v3._spline_use_pre((4, 3), 3) == (8 <= v3._SPLINE_PRE_TLEN)
+    monkeypatch.setattr(v3, "_SPLINE_PRE_TLEN", tmax)
+    got = np.asarray(v3.eval_bspline(kt32, cf32, obs32, 3))
+    np.testing.assert_array_equal(
+        got, np.asarray(v3._eval_bspline_pre(kt32, cf32, obs32, 3))
+    )
+    monkeypatch.setattr(v3, "_SPLINE_PRE_TLEN", tmax - 1)
+    got = np.asarray(v3.eval_bspline(kt32, cf32, obs32, 3))
+    np.testing.assert_array_equal(
+        got, np.asarray(v3._eval_bspline_knots(kt32, cf32, obs32, 3))
+    )
+
+
+@pytest.mark.parametrize("force_pre", [False, True])
+def test_v3_stack_knots_vs_pre(force_pre, monkeypatch):
+    """Both branches of the stack kernel's weight-build dispatch agree
+    with each other and with per-channel single evals."""
     k, dims, nch = 3, (8, 7), 4
     rng = np.random.default_rng(77)
     grids = [np.sort(rng.uniform(-2, 2, d)) for d in dims]
@@ -302,14 +324,24 @@ def test_v3_stack_knots_vs_pre(monkeypatch):
     obs = tuple(
         jnp.asarray(rng.uniform(-2.2, 2.2, 512), jnp.float32) for _ in dims
     )
+    tmax = max(t.shape[0] for t in kt32)
+    monkeypatch.setattr(
+        v3, "_SPLINE_PRE_TLEN", tmax if force_pre else tmax - 1
+    )
     got = np.asarray(v3.eval_bspline_stack(kt32, cf32, obs, k))
-    monkeypatch.setenv("INTERPN_TPU_SPLINE_PRE", "1")
-    pre = np.asarray(v3.eval_bspline_stack(kt32, cf32, obs, k))
-    monkeypatch.delenv("INTERPN_TPU_SPLINE_PRE")
+    other = np.asarray(
+        (v3._eval_bspline_knots if force_pre else v3._eval_bspline_pre)(
+            kt32, cf32[0], obs, k
+        )
+    )
     cs = max(float(np.abs(coeffs).max()), 1.0)
-    assert np.abs(got - pre).max() <= 4e-6 * cs
+    assert np.abs(got[0] - other).max() <= 4e-6 * cs
     for c in range(nch):
-        single = np.asarray(v3.eval_bspline(kt32, cf32[c], obs, k))
+        single = np.asarray(
+            (v3._eval_bspline_pre if force_pre else v3._eval_bspline_knots)(
+                kt32, cf32[c], obs, k
+            )
+        )
         assert np.abs(got[c] - single).max() <= 4e-6 * cs
 
 
