@@ -25,6 +25,33 @@ def take1(vals, idx):
     return jnp.asarray(vals).at[idx].get(mode="promise_in_bounds")
 
 
+# XLA:TPU lowers per-query dynamic takes at gather speed (~19 Mq/s for 1M
+# queries) once the source array exceeds one 64-lane vreg row; at or below
+# 64 entries they lower as fast vectorized selects. The one-hot select-sum
+# below stays vectorized at every size (measured ~900 Mq/s at 104 entries,
+# ~370 at 256, ~60 at 16384 — the compare_all-searchsorted scaling, same
+# broadcast-reduce shape), overtaking the gather lowering everywhere in
+# the grid-axis size range. Above _TAKE_ONEHOT_MAX the O(len) per-query
+# compares would lose to the gather, so plain take resumes (value-table
+# gathers also keep take1 directly: tables reach 1e6+ entries).
+_TAKE_ONEHOT_MAX = 4096
+
+
+def take_small(vals, idx):
+    """vals[idx] for flat `vals` and 1-D in-bounds `idx`, routed around the
+    TPU gather cliff: plain take at <= 64 entries (fast select regime) and
+    above _TAKE_ONEHOT_MAX, a branch-free one-hot select-sum between."""
+    vals = jnp.asarray(vals)
+    n = int(vals.shape[0])
+    if n <= 64 or n > _TAKE_ONEHOT_MAX or getattr(idx, "ndim", 1) != 1:
+        return take1(vals, idx)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    mask = idx[:, None].astype(jnp.int32) == iota[None, :]
+    return jnp.sum(
+        jnp.where(mask, vals[None, :], jnp.zeros((), vals.dtype)), axis=1
+    )
+
+
 # Above this stencil size, per-vertex gathers would bloat the traced program
 # (4^N nodes); switch to one batched gather + a vectorized tree reduction.
 LIST_MAX_VERTS = 256

@@ -39,8 +39,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..utils import c_strides
+from . import locate
 from ._chunk import chunk_queries
-from ._gather import LIST_MAX_VERTS, gather_corners, gather_corners_matrix
+from ._gather import LIST_MAX_VERTS, gather_corners, gather_corners_matrix, take_small
 
 _I32 = jnp.int32
 
@@ -181,7 +182,7 @@ def _basis_weights(t, span, x, k: int):
     `x` the query coordinates.  Knot accesses are flat 1-D takes of a tiny
     array (per-query span offsets -k+1..k), which the TPU backend compiles
     cheaply — never a multi-dimensional gather."""
-    tk = {off: jnp.take(t, span + off) for off in range(-k + 1, k + 1)}
+    tk = {off: take_small(t, span + off) for off in range(-k + 1, k + 1)}
     N = [jnp.ones_like(x)] + [jnp.zeros_like(x) for _ in range(k)]
     for j in range(1, k + 1):
         saved = jnp.zeros_like(x)
@@ -208,7 +209,7 @@ def spline_locs_weights(knots, obs, k: int):
         n = int(t.shape[0]) - k - 1
         x = obs[ax]
         span = jnp.clip(
-            jnp.searchsorted(t, x, side="right").astype(_I32) - 1, k, n - 1
+            locate.searchsorted(t, x, side="right").astype(_I32) - 1, k, n - 1
         )
         out.append((span - k, _basis_weights(t, span, x, k)))
     return out

@@ -22,9 +22,28 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ._gather import take1
+from ._gather import take1, take_small
 
 _I32 = jnp.int32
+
+# XLA:TPU's default searchsorted lowering ('scan', a binary search over
+# per-iteration dynamic takes) collapses ~50x the moment the sorted array
+# exceeds one 64-lane vreg row: measured on v5e (1M f32 queries, scan
+# sweep, /tmp-probe recorded in docs/perf.md "searchsorted cliff") the
+# default runs 981 Mq/s at 60 entries and 18.9 at 68, while
+# method='compare_all' (a branch-free broadcast compare-count, the same
+# partition_point shape the reference's bisection computes) holds
+# 870-1009 Mq/s there and stays 6-22x ahead of the default even at 16384
+# entries. All device-side bisections go through this helper.
+_SS_SCAN_MAX = 64
+
+
+def searchsorted(grid, x, side: str = "left"):
+    """`jnp.searchsorted` with a TPU-measured method choice: the default
+    scan lowering up to 64 entries (marginally faster there), the
+    vectorized compare-count above (no cliff)."""
+    method = "scan" if int(grid.shape[0]) <= _SS_SCAN_MAX else "compare_all"
+    return jnp.searchsorted(grid, x, side=side, method=method)
 
 
 class CubicLoc(NamedTuple):
@@ -84,7 +103,7 @@ def locate_rectilinear_linear(x, grid):
     (possibly clamped) cell.
     """
     dim = grid.shape[0]
-    sp = jnp.searchsorted(grid, x, side="left").astype(_I32)
+    sp = searchsorted(grid, x, side="left").astype(_I32)
     # partition_point(< NaN) counts zero elements (every comparison is
     # false); jnp.searchsorted instead sorts NaN after the grid (returns
     # n), which would select the OPPOSITE edge cell vs the reference and
@@ -92,8 +111,8 @@ def locate_rectilinear_linear(x, grid):
     sp = jnp.where(jnp.isnan(x), 0, sp)
     iloc = sp - 1
     loc = jnp.clip(iloc, 0, max(dim - 2, 0))
-    x0 = take1(grid, loc)
-    x1 = take1(grid, loc + 1)
+    x0 = take_small(grid, loc)
+    x1 = take_small(grid, loc + 1)
     return loc, x0, x1
 
 
@@ -113,12 +132,12 @@ def locate_rectilinear_cubic(x, grid) -> tuple[CubicLoc, jnp.ndarray]:
     evaluation kernel from x and grid_cell); it carries x instead.
     """
     dim = grid.shape[0]
-    sp = jnp.searchsorted(grid, x, side="left").astype(_I32)
+    sp = searchsorted(grid, x, side="left").astype(_I32)
     sp = jnp.where(jnp.isnan(x), 0, sp)  # see locate_rectilinear_linear
     iloc = sp - 2
     loc = jnp.clip(iloc, 0, max(dim - 4, 0))
     low = iloc <= -1
     high = (~low) & (iloc >= dim - 3)
     outside = (iloc < -1) | ((~low) & (iloc > dim - 3))
-    grid_cell = tuple(take1(grid, loc + i) for i in range(4))
+    grid_cell = tuple(take_small(grid, loc + i) for i in range(4))
     return CubicLoc(loc, x, low, high, outside), grid_cell

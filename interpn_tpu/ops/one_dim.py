@@ -19,7 +19,8 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ._gather import take1
+from ._gather import take1, take_small
+from . import locate as _locate
 
 _I32 = jnp.int32
 
@@ -86,8 +87,8 @@ class RegularGrid1D:
         i = jnp.clip(fi, 0.0, float(n - 2)).astype(_I32)
         x0 = start + step * i.astype(vals.dtype)
         x1 = x0 + step
-        y0 = jnp.where(bad, jnp.nan, take1(vals, i))
-        y1 = jnp.where(bad, jnp.nan, take1(vals, i + 1))
+        y0 = jnp.where(bad, jnp.nan, take_small(vals, i))
+        y1 = jnp.where(bad, jnp.nan, take_small(vals, i + 1))
         return GridSample1D(x0, y0, x1, y1, outside_low, outside_high)
 
 
@@ -109,7 +110,7 @@ class RectilinearGrid1D:
         grid = jnp.asarray(self.grid)
         vals = jnp.asarray(self.vals)
         n = grid.shape[0]
-        sp = jnp.searchsorted(grid, loc, side="left").astype(_I32)
+        sp = _locate.searchsorted(grid, loc, side="left").astype(_I32)
         # partition_point(< NaN) = 0 (reference + native bisection);
         # jnp.searchsorted sorts NaN last — see ops/locate.py. Unlike the
         # REGULAR 1D grid, the rectilinear reference never errors on
@@ -123,10 +124,10 @@ class RectilinearGrid1D:
         i = jnp.clip(sp - 1, 0, n - 2)
         outside_low = loc < grid[0]
         outside_high = loc > grid[-1]
-        x0 = take1(grid, i)
-        x1 = take1(grid, i + 1)
-        y0 = take1(vals, i)
-        y1 = take1(vals, i + 1)
+        x0 = take_small(grid, i)
+        x1 = take_small(grid, i + 1)
+        y0 = take_small(vals, i)
+        y1 = take_small(vals, i + 1)
         return GridSample1D(x0, y0, x1, y1, outside_low, outside_high)
 
 
