@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import interpn_tpu as it
+from . import oracle
 from interpn_tpu.utils import meshgrid
 
 
@@ -293,3 +294,71 @@ class TestContinuity:
             a = self._eval(method, dims, starts, steps, vals, [np.array([edge - eps]), y])
             b = self._eval(method, dims, starts, steps, vals, [np.array([edge + eps]), y])
             np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_searchsorted_and_take_small_size_regimes():
+    """The two cliff-fix helpers (round 5): `locate.searchsorted` flips
+    from the default scan lowering to the vectorized compare-count above
+    64 entries, and `_gather.take_small` routes 65..4096-entry arrays
+    through the fused one-hot select-sum — both must be EXACTLY
+    equivalent to their jnp references at every size, including repeated
+    entries (not-a-knot end knots), both sides, and boundary queries."""
+    import jax.numpy as jnp
+
+    from interpn_tpu.ops import locate
+    from interpn_tpu.ops._gather import _TAKE_ONEHOT_MAX, take1, take_small
+
+    rng = np.random.default_rng(11)
+    for n in (8, 64, 65, 104, 1024, _TAKE_ONEHOT_MAX, _TAKE_ONEHOT_MAX + 1):
+        base = np.sort(rng.uniform(-5.0, 5.0, n))
+        base[: min(4, n)] = base[0]  # repeated low knots
+        g = jnp.asarray(base)
+        x = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-6.0, 6.0, 257), base[:: max(1, n // 7)]]
+            )
+        )
+        for side in ("left", "right"):
+            got = np.asarray(locate.searchsorted(g, x, side=side))
+            want = np.asarray(jnp.searchsorted(g, x, side=side))
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n} {side}")
+        idx = jnp.asarray(rng.integers(0, n, 311), jnp.int32)
+        vals = jnp.asarray(rng.standard_normal(n))
+        np.testing.assert_array_equal(
+            np.asarray(take_small(vals, idx)),
+            np.asarray(take1(vals, idx)),
+            err_msg=f"take n={n}",
+        )
+    # non-1D index falls back to the plain gather
+    idx2 = jnp.asarray(rng.integers(0, 100, (5, 7)), jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(100))
+    np.testing.assert_array_equal(
+        np.asarray(take_small(vals, idx2)), np.asarray(take1(vals, idx2))
+    )
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_rectilinear_above_cliff_grid_matches_oracle(method):
+    """Rectilinear evaluation on >64-point axes (the compare_all/one-hot
+    regime) agrees with the loop oracle — pins the round-5 cliff-fix
+    helpers inside the real locate/evaluate pipeline."""
+    rng = np.random.default_rng(7)
+    g0 = np.sort(rng.uniform(0.0, 10.0, 100))
+    g1 = np.sort(rng.uniform(0.0, 10.0, 70))
+    while np.any(np.diff(g0) <= 1e-3):
+        g0 = np.sort(rng.uniform(0.0, 10.0, 100))
+    while np.any(np.diff(g1) <= 1e-3):
+        g1 = np.sort(rng.uniform(0.0, 10.0, 70))
+    grids = [g0, g1]
+    vals = rng.standard_normal((100, 70))
+    obs = [rng.uniform(-0.5, 10.5, 200) for _ in range(2)]
+    got = it.interpn(obs, grids, vals, method=method)
+    fn = {
+        "linear": oracle.linear_rectilinear,
+        "cubic": lambda g, v, p: oracle.cubic_rectilinear(g, v, p, True),
+        "nearest": oracle.nearest_rectilinear,
+    }[method]
+    want = np.array(
+        [fn(grids, vals.ravel(), p) for p in np.stack(obs, -1)]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
