@@ -81,16 +81,16 @@ def _grid(ndims, dtype, grid_n=GRID_N):
     return x, vals_np, starts, steps, vals
 
 
-def _rect_grids_host(ndims, seed=5):
+def _rect_grids_host(ndims, seed=5, grid_n=GRID_N):
     """Strictly-monotonic non-uniform axes over the same [0, 10] span (so
     the shared on-device obs generator covers interior + extrapolation)."""
     rng = np.random.default_rng(seed)
     grids = []
     for _ in range(ndims):
-        g = np.linspace(0.0, 10.0, GRID_N)
-        g[1:-1] += rng.uniform(-0.3, 0.3, GRID_N - 2) * (g[1] - g[0])
+        g = np.linspace(0.0, 10.0, grid_n)
+        g[1:-1] += rng.uniform(-0.3, 0.3, grid_n - 2) * (g[1] - g[0])
         grids.append(np.sort(g))
-    x, vals_np = _grid_host(ndims)
+    x, vals_np = _grid_host(ndims, grid_n)
     return grids, vals_np
 
 
@@ -173,7 +173,8 @@ def bench_device(method: str, dtype_name: str, ndims: int = 3,
     return n_obs / dt
 
 
-def bench_spline_device(ndims: int = 3, n_obs: int = N_OBS, dtype_name="f32"):
+def bench_spline_device(ndims: int = 3, n_obs: int = N_OBS, dtype_name="f32",
+                        grid_n: int = GRID_N):
     """Queries/sec for the global cubic B-spline (fused v3 engine in f32;
     the double-float/i8 engines serve f64)."""
     import jax.numpy as jnp
@@ -181,7 +182,7 @@ def bench_spline_device(ndims: int = 3, n_obs: int = N_OBS, dtype_name="f32"):
     from interpn_tpu.ops import bspline
 
     dtype = {"f32": jnp.float32, "f64": jnp.float64}[dtype_name]
-    x, vals_np = _grid_host(ndims)
+    x, vals_np = _grid_host(ndims, grid_n)
     knots, coeffs = bspline.prep_bspline([x] * ndims, vals_np.ravel(), 3)
     kt = tuple(jnp.asarray(t, dtype) for t in knots)
     cf = jnp.asarray(coeffs, dtype)
@@ -192,7 +193,7 @@ def bench_spline_device(ndims: int = 3, n_obs: int = N_OBS, dtype_name="f32"):
 
 
 def bench_device_rect(method: str, dtype_name: str, ndims: int = 3,
-                      n_obs: int = N_OBS):
+                      n_obs: int = N_OBS, grid_n: int = GRID_N):
     """Queries/sec for the rectilinear device path via the dispatching ops
     API (f32 -> fused pallas rect kernels, f64 -> i8/df64 per dispatch)."""
     import jax.numpy as jnp
@@ -200,7 +201,7 @@ def bench_device_rect(method: str, dtype_name: str, ndims: int = 3,
     from interpn_tpu import ops
 
     dtype = {"f32": jnp.float32, "f64": jnp.float64}[dtype_name]
-    grids_np, vals_np = _rect_grids_host(ndims)
+    grids_np, vals_np = _rect_grids_host(ndims, grid_n=grid_n)
     grids = tuple(jnp.asarray(g, dtype) for g in grids_np)
     vals = jnp.asarray(vals_np.ravel(), dtype)
     kern = {
@@ -473,10 +474,17 @@ def main():
         for method in ("linear", "cubic"):
             row(f"tpu_{method}_rect_f32_3d@1M", bench_device_rect(method, "f32"))
         row("tpu_cubic_rect_f64_3d@1M", bench_device_rect("cubic", "f64"))
+        # >64-point axes: the regime unlocked by the round-5 locate/take
+        # cliff fix (compare_all searchsorted + one-hot takes) — tracked
+        # so a lowering regression reappears in the round diff
+        row("tpu_cubic_rect_f32_3d100@1M",
+            bench_device_rect("cubic", "f32", grid_n=100))
         row("tpu_cubic_rect_df64_3d@1M", bench_df64_rect())
         # fused B-spline engine (round 4) in both dtypes + pchip + one_dim
         row("tpu_cubic_spline_f32_3d@1M", bench_spline_device())
         row("tpu_cubic_spline_f64_3d@1M", bench_spline_device(dtype_name="f64"))
+        row("tpu_cubic_spline_f64_2d100@1M",
+            bench_spline_device(ndims=2, dtype_name="f64", grid_n=100))
         row("tpu_pchip_f64_3d@1M", bench_pchip_device())
         row("tpu_one_dim_linear_f32_1d@1M", bench_one_dim_device())
         # stacked-table evaluation: Mq/s counts queries x channels

@@ -14,6 +14,26 @@ where XLA's per-query knot takes run at gather speed. Round 5 replaced
 the INTERPN_TPU_SPLINE_PRE env knob with an automatic dispatch on the
 static knot-column length (threshold measured by the --crossover sweep
 below; see `pallas_v3._spline_use_pre`).
+
+--crossover recorded result (v5e, 2026-08-21, PRE-cliff-fix code — the
+basis for the tlen<=48 threshold; the collapse is one step at a vreg row):
+
+    20^2 k=3 tlen= 24: knots 702.8  pre 792.2 Mq/s   (0.89x)
+    40^2 k=3 tlen= 44: knots 597.8  pre 624.8        (0.96x)
+    48^2 k=3 tlen= 52: knots 569.4  pre 566.7        (1.00x)
+    56^2 k=3 tlen= 60: knots 537.2  pre 534.5        (1.01x)
+    64^2 k=3 tlen= 68: knots 488.9  pre   4.9        (98.9x)
+    100^2 k=3 tlen=104: knots 392.9 pre   4.9        (79.7x)
+    20^2 k=5 tlen= 26: knots 488.6  pre 669.9        (0.73x)
+    48^2 k=5 tlen= 54: knots 421.1  pre 486.6        (0.87x)
+    20^3 k=3 tlen= 24: knots 220.9  pre 244.5        (0.90x)
+    36^3 k=3 tlen= 40: knots  90.1  pre 100.4        (0.90x)
+
+After the round-5 locate/take cliff fix (locate.searchsorted compare_all
++ _gather.take_small one-hot), the pre route no longer collapses: at
+tlen 68/104 it measures 217.5/219.6 Mq/s vs knots 293.5/189.8 (R=16) —
+a wash above the threshold, so the tlen<=48 dispatch stands on the
+small-grid wins alone (docs/perf.md "The 64-entry locate/take cliff").
 """
 
 import sys
