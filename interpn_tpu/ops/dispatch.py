@@ -336,7 +336,9 @@ def linear_rectilinear(grids, vals, obs, *, vals_finite=None):
         return _with_gather_jvp(prim, gat)(*grids, vals, *obs)
     if impl == "pallas":
         # XLA-precomputed weights beat the in-kernel rectilinear locate
-        # (counts + select-sums) — measured on v5e, docs/perf.md
+        # (counts + select-sums) — measured on v5e, docs/perf.md;
+        # re-confirmed after the round-5 locate/take cliff fix at both
+        # 20^3 (166.9 vs 142.5 Mq/s) and 100^3 (11.6 vs 10.9)
         prim = lambda *a: _pv3.eval_rectilinear_pre(
             a[:ng], a[ng], a[ng + 1:], "linear", True, _pallas_passes()
         )
